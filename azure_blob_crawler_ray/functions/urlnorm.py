@@ -1,0 +1,70 @@
+"""URL / blob-event canonicalization (operator O1 in SURVEY.md §2.2).
+
+The reference parses three wire formats and canonicalizes a blob URL by
+naive splitting (ref shared/services/servicebus_processor.py:181-203 and
+services/indexer_app/app/api/handlers.py:152-182):
+``url.replace('https://','').split('/')`` -> container = parts[1],
+blob = '/'.join(parts[2:]). That exact quirky split is kept for blob
+events; crawl URLs get the natural host/path split on the same principle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def parse_blob_url(url: str) -> Optional[Tuple[str, str]]:
+    """(container, blob) via the reference's split — ref
+    servicebus_processor.py:189-192. Returns None when unparsable (the
+    reference completes-and-skips such messages, ref :204-210)."""
+    parts = url.replace("https://", "").split("/")
+    if len(parts) >= 3:
+        return parts[1], "/".join(parts[2:])
+    return None
+
+
+def parse_blob_event(message: object) -> Optional[Tuple[str, str]]:
+    """All three wire formats — ref servicebus_processor.py:181-203."""
+    if isinstance(message, list) and message:
+        data = message[0]
+        if isinstance(data, dict) and "data" in data and "url" in data["data"]:
+            return parse_blob_url(data["data"]["url"])
+        return None
+    if not isinstance(message, dict):
+        return None
+    if "blob_name" in message and "container_name" in message:
+        return message["container_name"], message["blob_name"]
+    if "data" in message and "url" in message.get("data", {}):
+        return parse_blob_url(message["data"]["url"])
+    return None
+
+
+def split_host_path(url: str) -> Tuple[str, str]:
+    """Crawl-side canonical split: (host, '/path'). Scheme-stripped the
+    same naive way as the reference (https:// then http://)."""
+    trimmed = url.replace("https://", "").replace("http://", "")
+    host, _, path = trimmed.partition("/")
+    return host, "/" + path
+
+
+def canonical_url(url: str) -> str:
+    """Canonical form used for the seen-set hash: host + path, no scheme,
+    no fragment, trailing-slash trimmed (except root)."""
+    host, path = split_host_path(url)
+    path = path.split("#", 1)[0]
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    return host + path
+
+
+def doc_id_of(blob_name: str) -> str:
+    """ref document_processor.py:328 — NOTE the collision hazard: both
+    'a/b.txt' and 'a.b_txt' map to 'a_b_txt' (SURVEY.md §2.7 D1)."""
+    return blob_name.replace("/", "_").replace(".", "_")
+
+
+def canonical_urls_np(urls) -> np.ndarray:
+    """Vectorized canonicalization for hot paths (object ndarray in/out)."""
+    return np.array([canonical_url(u) for u in urls], dtype=object)

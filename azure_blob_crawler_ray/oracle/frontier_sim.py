@@ -1,0 +1,227 @@
+"""Oracle crawl simulator: single-process reference for the wave loop.
+
+Defines the CANONICAL per-wave crawl semantics (SURVEY.md §3.4) that the
+Ray engine must reproduce at any parallelism level:
+
+  wave w over frontier rows (url, host, depth, priority, discovered_at):
+    1. robots filter (drop disallowed paths; counted)
+    2. canonical order: priority DESC, discovered_at ASC, url_hash ASC
+    3. per-host pre-prune: first `cap` rows per host -> head, rest defer
+       (this is the hot-host skew bound — at scale the engine does it as
+       a salted two-phase groupby, same result)
+    4. global budget: first `wave_budget` rows of head -> candidates,
+       rest defer
+    5. min-heap politeness admission within the wave's virtual window
+       (state/admission.py) -> admitted rows w/ scheduled fetch_ms
+    6. fetch + parse admitted (synthetic web; reference extraction
+       semantics) -> documents, links
+    7. dedupe discovered links: per seen-shard sorted-unique cuckoo
+       check_add; duplicate in-wave discoveries collapse to MIN depth
+    8. frontier_{w+1} = deferred ∪ fresh links (depth+1,
+       priority=1/(1+depth), discovered_at=w+1)
+
+Seed URLs are inserted into the seen set before wave 0. All primitives
+(hash, cuckoo, admission, extraction, links, synth web) are the engine's
+own modules, so engine == oracle is a statement about ORCHESTRATION
+equivalence, which is exactly what the conformance tests check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+
+from .. import synth
+from ..config import CrawlConfig
+from ..functions.links import extract_links
+from ..functions.urlnorm import canonical_url, doc_id_of, split_host_path
+from ..hashing import hash64
+from ..state.admission import canonical_order, schedule_wave
+from ..state.cuckoo import CuckooFilter
+from .ref_extract import extract
+
+
+@dataclass
+class SimResult:
+    order: List[tuple] = field(default_factory=list)       # (wave, fetch_ms, url)
+    documents: List[dict] = field(default_factory=list)    # doc_id,url,wave,spans
+    metrics: List[dict] = field(default_factory=list)      # per-wave counters
+    seen_digest: np.ndarray | None = None                  # concat fingerprint sets
+    final_frontier: List[str] = field(default_factory=list)
+
+
+def _frontier_from_uids(uids: np.ndarray, cfg: CrawlConfig, depth: int, wave: int):
+    urls, hosts, _ = synth.urls_for(uids, cfg)
+    return {
+        "url": list(urls),
+        "host": list(hosts),
+        "depth": np.full(len(urls), depth, dtype=np.int32),
+        "priority": np.full(len(urls), 1.0 / (1 + depth), dtype=np.float32),
+        "discovered_at": np.full(len(urls), wave, dtype=np.int64),
+    }
+
+
+def simulate_crawl(cfg: CrawlConfig) -> SimResult:
+    robots = synth.robots_rules(cfg)
+    shards = [CuckooFilter(cfg.cuckoo_buckets) for _ in range(cfg.num_seen_shards)]
+
+    def seen_add(urls: List[str]) -> np.ndarray:
+        """Sorted-unique per-shard probe-and-insert; returns fresh mask."""
+        h = hash64([canonical_url(u) for u in urls])
+        fresh = np.zeros(len(urls), dtype=bool)
+        sh = (h % np.uint64(cfg.num_seen_shards)).astype(np.int64)
+        for s in range(cfg.num_seen_shards):
+            idx = np.flatnonzero(sh == s)
+            if not len(idx):
+                continue
+            uniq = np.unique(h[idx])  # sorted unique (determinism contract)
+            fresh_u = shards[s].add_many(uniq)
+            fresh_set = set(uniq[fresh_u].tolist())
+            for i in idx:
+                if int(h[i]) in fresh_set:
+                    fresh[i] = True
+                    fresh_set.discard(int(h[i]))  # first occurrence only
+        return fresh
+
+    res = SimResult()
+    next_vtime: Dict[str, int] = {}
+    delay_ms = {h: r["crawl_delay_ms"] for h, r in robots.items()}
+
+    seeds = synth.seed_uids(cfg)
+    frontier = _frontier_from_uids(seeds, cfg, depth=0, wave=0)
+    seen_add(frontier["url"])  # seeds are discovered
+
+    for wave in range(cfg.max_waves):
+        urls = frontier["url"]
+        if not urls:
+            break
+        hosts = frontier["host"]
+        n = len(urls)
+        uh = hash64([canonical_url(u) for u in urls])
+
+        # 1. robots
+        blocked = np.array(
+            [
+                synth.robots_blocks(split_host_path(u)[1], robots.get(h, {}).get("disallow", []))
+                for u, h in zip(urls, hosts)
+            ],
+            dtype=bool,
+        )
+        # 2. canonical order over unblocked rows
+        keep = np.flatnonzero(~blocked)
+        order = keep[
+            canonical_order(
+                np.asarray(frontier["priority"])[keep],
+                np.asarray(frontier["discovered_at"])[keep],
+                uh[keep],
+            )
+        ]
+        # 3. per-host cap prune
+        head: List[int] = []
+        tail: List[int] = []
+        per_host: Dict[str, int] = {}
+        for i in order:
+            h = hosts[i]
+            c = per_host.get(h, 0)
+            (head if c < cfg.max_fetches_per_host_per_wave else tail).append(i)
+            per_host[h] = c + 1
+        # 4. global budget
+        cand = head[: cfg.wave_budget]
+        deferred = head[cfg.wave_budget:] + tail
+        # 5. politeness admission
+        counts: Dict[str, int] = {}
+        for i in cand:
+            counts[hosts[i]] = counts.get(hosts[i], 0) + 1
+        ws, we = wave * cfg.wave_duration_ms, (wave + 1) * cfg.wave_duration_ms
+        sched = schedule_wave(
+            sorted(counts.items()), next_vtime, delay_ms, ws, we,
+            cfg.max_fetches_per_host_per_wave,
+        )
+        admitted: List[tuple] = []  # (fetch_ms, row_idx)
+        taken: Dict[str, int] = {}
+        for i in cand:
+            h = hosts[i]
+            k = taken.get(h, 0)
+            times = sched.get(h, [])
+            if k < len(times):
+                admitted.append((times[k], i))
+                taken[h] = k + 1
+            else:
+                deferred.append(i)
+        admitted.sort(key=lambda t: (t[0], int(uh[t[1]])))
+
+        # 6. fetch + parse
+        wave_links: List[str] = []
+        link_depth: Dict[str, int] = {}
+        n_docs = 0
+        for fetch_ms, i in admitted:
+            url = urls[i]
+            uid = int(url.rsplit("/", 1)[1].split(".")[0])
+            payload, _ct = synth.payload_for(uid, cfg)
+            blob_name = url.replace("https://", "").partition("/")[2]
+            ex = extract(blob_name, payload, media_ref=url)
+            res.order.append((wave, fetch_ms, url))
+            if not ex.skipped and ex.full_content.strip():
+                n_docs += 1
+                res.documents.append(
+                    {
+                        "doc_id": doc_id_of(blob_name),
+                        "url": url,
+                        "wave": wave,
+                        "spans": ex.spans(),
+                    }
+                )
+                d = int(np.asarray(frontier["depth"])[i]) + 1
+                for link in extract_links(ex.full_content):
+                    wave_links.append(link)
+                    if link not in link_depth or d < link_depth[link]:
+                        link_depth[link] = d
+
+        # 7. dedupe fresh links (first occurrence per url string kept,
+        #    depth = min over discoverers)
+        uniq_links = sorted(set(wave_links), key=lambda u: (int(hash64([canonical_url(u)])[0]), u))
+        fresh_mask = seen_add(uniq_links) if uniq_links else np.zeros(0, dtype=bool)
+        fresh_links = [u for u, f in zip(uniq_links, fresh_mask) if f]
+
+        # 8. next frontier
+        nf = {
+            "url": [urls[i] for i in deferred],
+            "host": [hosts[i] for i in deferred],
+            "depth": list(np.asarray(frontier["depth"])[deferred]),
+            "priority": list(np.asarray(frontier["priority"])[deferred]),
+            "discovered_at": list(np.asarray(frontier["discovered_at"])[deferred]),
+        }
+        for u in fresh_links:
+            d = link_depth[u]
+            nf["url"].append(u)
+            nf["host"].append(split_host_path(u)[0])
+            nf["depth"].append(np.int32(d))
+            nf["priority"].append(np.float32(1.0 / (1 + d)))
+            nf["discovered_at"].append(np.int64(wave + 1))
+        res.metrics.append(
+            {
+                "wave": wave,
+                "frontier": n,
+                "robots_blocked": int(blocked.sum()),
+                "admitted": len(admitted),
+                "docs": n_docs,
+                "links": len(wave_links),
+                "fresh": len(fresh_links),
+                "deferred": len(deferred),
+            }
+        )
+        frontier = {
+            "url": nf["url"],
+            "host": nf["host"],
+            "depth": np.asarray(nf["depth"], dtype=np.int32),
+            "priority": np.asarray(nf["priority"], dtype=np.float32),
+            "discovered_at": np.asarray(nf["discovered_at"], dtype=np.int64),
+        }
+
+    res.seen_digest = np.concatenate(
+        [s.fingerprint_set() + (np.int64(i) << 40) for i, s in enumerate(shards)]
+    )
+    res.final_frontier = sorted(frontier["url"])
+    return res

@@ -1,0 +1,75 @@
+"""Ingest pipeline: the reference's ``process_file`` chain (ref
+shared/processing/document_processor.py:281-372, SURVEY.md §3.1)
+re-expressed as composable ``Dataset -> Dataset`` stages:
+
+    blobs(blob_name, payload[, url])
+      -> parse_extract (stateless map_batches)     O1-O8
+      -> ChunkStage    (actor pool, tokenizer T1)  O9-O13
+      -> EmbedStage    (actor pool, embedder T3)   O14
+      -> assemble_index (stateless)                O15
+
+Each function takes and returns a Dataset so callers can cut in at any
+stage (the user-extension surface of SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..config import CHUNK_MAX_TOKENS
+from ..stages.assemble import assemble_index
+from ..stages.chunk import ChunkStage
+from ..stages.embed import EmbedStage
+from ..stages.parse import parse_extract
+
+
+def parse_stage(blobs: ray.data.Dataset) -> ray.data.Dataset:
+    return blobs.map_batches(parse_extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_stage(
+    docs: ray.data.Dataset,
+    max_tokens: int = CHUNK_MAX_TOKENS,
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    return docs.map_batches(
+        ChunkStage,
+        fn_constructor_args=(max_tokens,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def embed_stage(
+    chunks: ray.data.Dataset,
+    dim: int,
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    return chunks.map_batches(
+        EmbedStage,
+        fn_constructor_args=(dim,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def index_stage(embedded: ray.data.Dataset) -> ray.data.Dataset:
+    return embedded.map_batches(assemble_index, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ingest(
+    blobs: ray.data.Dataset,
+    *,
+    embed_dim: int = 64,
+    max_tokens: int = CHUNK_MAX_TOKENS,
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """blobs -> index rows (id, content, vector); fully lazy/streaming."""
+    docs = parse_stage(blobs)
+    chunks = chunk_stage(docs, max_tokens, concurrency)
+    embedded = embed_stage(chunks, embed_dim, concurrency)
+    return index_stage(embedded)

@@ -1,0 +1,57 @@
+"""Fetch stage: the blob GET re-expressed as an actor-pool map_batches.
+
+The reference downloads one blob per message over HTTP (ref
+shared/azure_clients/blob_client.py:93-120, S5/S6 in SURVEY.md §2.1).
+Here the network is replaced by the deterministic synthetic web
+(synth.payload_for): an actor-pool stage whose per-actor state is the
+crawl config + compiled URL pattern (the analogue of the per-process
+HTTP session, T3 in SURVEY.md §2.3). Batches are Arrow in / Arrow out.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from .. import synth
+
+_UID_RE = re.compile(r"/p/\d+/(\d+)\.\w+$")
+
+
+def uid_of_url(url: str) -> int:
+    m = _UID_RE.search(url)
+    return int(m.group(1)) if m else -1
+
+
+class SyntheticFetcher:
+    """map_batches(SyntheticFetcher, fn_constructor_args=(cfg,),
+    concurrency=N, batch_format='pyarrow')."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        uids = np.array([uid_of_url(u) for u in urls], dtype=np.int64)
+        payloads = []
+        ctypes = []
+        for uid in uids:
+            if uid < 0:
+                payloads.append(b"")
+                ctypes.append("")
+                continue
+            p, ct = synth.payload_for(int(uid), self.cfg)
+            payloads.append(p)
+            ctypes.append(ct)
+        status = np.where(uids >= 0, 200, 404).astype(np.int32)
+        # blob_name = URL path without leading slash (container≡host):
+        # the reference's (container, blob) split, ref servicebus_processor.py:189-192
+        blobs = [u.replace("https://", "").partition("/")[2] for u in urls]
+        return batch.append_column("uid", pa.array(uids)) \
+            .append_column("status", pa.array(status)) \
+            .append_column("content_type", pa.array(ctypes, type=pa.string())) \
+            .append_column("blob_name", pa.array(blobs, type=pa.string())) \
+            .append_column("payload", pa.array(payloads, type=pa.large_binary()))

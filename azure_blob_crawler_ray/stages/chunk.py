@@ -1,0 +1,63 @@
+"""Chunk stage (O9-O13): token-aware chunking as an actor-pool
+``map_batches`` — the tokenizer/chunker is per-actor state built once in
+``__init__`` (the reference loads tiktoken once per process, ref
+shared/utils/chunking.py:29-40; T1 in SURVEY.md §2.3).
+
+Strategy selection follows ref document_processor.py:307-317: page-aware
+``chunk_pages`` only when ext ∈ {pdf, docx, doc} AND the document has
+more than one text span; otherwise ``chunk_text`` on full_content.
+Rows are independent -> embarrassingly parallel across batches.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+
+from ..config import CHUNK_MAX_TOKENS, SUPPORTED_DOCUMENT_EXTENSIONS
+from ..oracle.ref_chunker import RefChunker
+
+
+class ChunkStage:
+    def __init__(self, max_tokens: int = CHUNK_MAX_TOKENS):
+        self.chunker = RefChunker()  # once per actor
+        self.max_tokens = max_tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """documents -> chunks(chunk_id, doc_id, seq, content, token_count)."""
+        doc_ids = batch["doc_id"].to_pylist()
+        exts = batch["ext"].to_pylist()
+        fulls = batch["full_content"].to_pylist()
+        spans = batch["spans"].to_pylist()
+        skipped = batch["skipped"].to_pylist() if "skipped" in batch.column_names else [False] * len(doc_ids)
+
+        out_cid: List[str] = []
+        out_did: List[str] = []
+        out_seq: List[int] = []
+        out_txt: List[str] = []
+        out_tok: List[int] = []
+        ck = self.chunker
+        for did, ext, full, sp, skip in zip(doc_ids, exts, fulls, spans, skipped):
+            if skip or not (full or "").strip():
+                continue  # ref document_processor.py:300-303
+            pages = [s["text"] for s in sp if s["kind"] == "text"]
+            if ext in SUPPORTED_DOCUMENT_EXTENSIONS and len(pages) > 1:
+                chunks = ck.chunk_pages(pages, self.max_tokens)
+            else:
+                chunks = ck.chunk_text(full, self.max_tokens)
+            for i, c in enumerate(chunks):
+                out_cid.append(f"{did}_chunk_{i}")  # ref :257
+                out_did.append(did)
+                out_seq.append(i)
+                out_txt.append(c)
+                out_tok.append(ck.count_tokens(c))
+        return pa.table(
+            {
+                "chunk_id": pa.array(out_cid, type=pa.string()),
+                "doc_id": pa.array(out_did, type=pa.string()),
+                "seq": pa.array(out_seq, type=pa.int32()),
+                "content": pa.array(out_txt, type=pa.string()),
+                "token_count": pa.array(out_tok, type=pa.int32()),
+            }
+        )

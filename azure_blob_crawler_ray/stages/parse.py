@@ -1,0 +1,60 @@
+"""Parse / span-extraction stage (O1-O8 in SURVEY.md §2.2).
+
+One ``map_batches`` stage: fetched payload bytes -> interleaved span rows
++ discovered links. The per-row extraction dispatch (extension routing,
+decode, JSON flatten, page/section markers, binary fallback) is the
+shared oracle code in ``oracle/ref_extract.py`` — identical semantics by
+construction (ref shared/processing/file_extractor.py:44-106). Recursion
+and per-format branching don't vectorize; parallelism comes from Ray
+running many Arrow batches concurrently, and the payload column is
+DROPPED here so only spans/links flow further (SURVEY.md §7.4 "very wide
+rows").
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+
+from ..functions.links import extract_links
+from ..functions.urlnorm import doc_id_of
+from ..oracle.ref_extract import extract, extension_of
+from ..schemas import SPAN_STRUCT
+
+
+def parse_extract(batch: pa.Table) -> pa.Table:
+    """fetched(url, host, depth, wave, fetch_ms, blob_name, payload, ...)
+    -> documents(doc_id, url, host, depth, wave, fetch_ms, ext,
+    full_content, spans, links, skipped)."""
+    blob_names = batch["blob_name"].to_pylist()
+    payloads = batch["payload"].to_pylist()
+    urls = batch["url"].to_pylist()
+
+    doc_ids: List[str] = []
+    exts: List[str] = []
+    fulls: List[str] = []
+    spans_col: List[list] = []
+    links_col: List[list] = []
+    skipped: List[bool] = []
+    for bn, payload, url in zip(blob_names, payloads, urls):
+        ex = extract(bn, payload or b"", media_ref=url)
+        doc_ids.append(doc_id_of(bn))
+        exts.append(extension_of(bn))
+        fulls.append(ex.full_content)
+        spans_col.append(ex.spans())
+        links_col.append([] if ex.skipped else extract_links(ex.full_content))
+        skipped.append(ex.skipped or not ex.full_content.strip())
+
+    keep = [
+        c for c in ("url", "host", "depth", "wave", "fetch_ms", "url_hash", "priority")
+        if c in batch.column_names
+    ]
+    out = batch.select(keep)
+    out = out.append_column("doc_id", pa.array(doc_ids, type=pa.string()))
+    out = out.append_column("ext", pa.array(exts, type=pa.string()))
+    out = out.append_column("full_content", pa.array(fulls, type=pa.string()))
+    out = out.append_column("spans", pa.array(spans_col, type=pa.list_(SPAN_STRUCT)))
+    out = out.append_column("links", pa.array(links_col, type=pa.list_(pa.string())))
+    out = out.append_column("skipped", pa.array(skipped, type=pa.bool_()))
+    return out

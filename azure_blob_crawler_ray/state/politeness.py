@@ -1,0 +1,73 @@
+"""Per-host politeness scheduler actors (T6 in SURVEY.md §2.3).
+
+One actor per host-shard (``hash64(host) % NUM_SCHED_SHARDS``; shard
+count is FIXED so admission is independent of cluster size). Each actor
+owns the virtual next-fetch-time of its hosts and a robots cache, and
+admits one wave's candidates through the shared min-heap scheduler in
+``state/admission.py``. Robots rules are broadcast once via ``ray.put``
+and read in the actor constructor — never re-shipped per batch.
+
+Snapshot/restore make the scheduler state part of the wave checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+@ray.remote
+class PolitenessShard:
+    def __init__(self, shard_id: int, robots_ref, wave_duration_ms: int, per_host_cap: int):
+        from .admission import schedule_wave  # local import: actor-side
+
+        self._schedule_wave = schedule_wave
+        self.shard_id = shard_id
+        robots = ray.get(robots_ref) if isinstance(robots_ref, ray.ObjectRef) else robots_ref
+        self.delay_ms: Dict[str, int] = {h: r["crawl_delay_ms"] for h, r in robots.items()}
+        self.wave_duration_ms = wave_duration_ms
+        self.per_host_cap = per_host_cap
+        self.next_vtime: Dict[str, int] = {}
+
+    def admit(self, hosts: List[str], wave: int) -> dict:
+        """Admit candidates for one wave. ``hosts`` is the per-row host of
+        this shard's candidate rows, already in canonical frontier order.
+        Returns {'admit': bool array, 'fetch_ms': int64 array} aligned to
+        the input rows (fetch_ms = scheduled virtual time; -1 if deferred).
+        """
+        n = len(hosts)
+        wave_start = wave * self.wave_duration_ms
+        wave_end = wave_start + self.wave_duration_ms
+        # per-host candidate counts, in first-appearance order
+        counts: Dict[str, int] = {}
+        for h in hosts:
+            counts[h] = counts.get(h, 0) + 1
+        sched = self._schedule_wave(
+            sorted(counts.items()),
+            self.next_vtime,
+            self.delay_ms,
+            wave_start,
+            wave_end,
+            self.per_host_cap,
+        )
+        admit = np.zeros(n, dtype=bool)
+        fetch_ms = np.full(n, -1, dtype=np.int64)
+        taken: Dict[str, int] = {}
+        for i, h in enumerate(hosts):
+            k = taken.get(h, 0)
+            times = sched.get(h)
+            if times is not None and k < len(times):
+                admit[i] = True
+                fetch_ms[i] = times[k]
+                taken[h] = k + 1
+        return {"admit": admit, "fetch_ms": fetch_ms}
+
+    def snapshot(self) -> dict:
+        return {"shard": self.shard_id, "next_vtime": dict(self.next_vtime)}
+
+    def restore(self, snap: dict) -> bool:
+        self.next_vtime = dict(snap["next_vtime"])
+        return True

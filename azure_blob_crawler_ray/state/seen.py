@@ -1,0 +1,46 @@
+"""Sharded URL-seen set: cuckoo-filter shard actors (T5 in SURVEY.md §2.3).
+
+Shard = ``url_hash % NUM_SEEN_SHARDS`` (fixed count — seen-set contents
+must not depend on cluster size). Per wave, each shard receives ALL of the
+wave's candidate hashes for its range in ONE call, sorted and deduped —
+that makes filter state a pure function of the crawl, so a run at 8 CPUs,
+a run at 32 CPUs, and the single-process oracle agree bit-for-bit
+(SURVEY.md §7.4). The anti-join J3 (discovered-link minus seen-set) is the
+per-shard ``check_add`` returning the fresh mask.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote
+class SeenShard:
+    def __init__(self, shard_id: int, num_buckets: int):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(num_buckets)
+
+    def check_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Probe-and-insert; hashes MUST be sorted unique (caller contract,
+        enforced by the per-wave groupby). Returns the fresh mask."""
+        return self.filter.add_many(hashes)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.contains_many(hashes)
+
+    def snapshot(self) -> bytes:
+        return self.filter.serialize()
+
+    def restore(self, blob: bytes) -> bool:
+        self.filter = CuckooFilter.deserialize(blob)
+        return True
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "count": self.filter.count,
+            "evictions": self.filter.evictions,
+        }

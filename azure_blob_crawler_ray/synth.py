@@ -1,0 +1,224 @@
+"""Deterministic synthetic web: URL universe, link graph, robots, payloads.
+
+The sandbox has no network, so the "fetch" stage (ref
+shared/azure_clients/blob_client.py:93-120, the blob GET) is a
+deterministic generator: every URL's payload, content-type, out-links,
+host and robots rules are pure functions of ``(seed, url_id)`` via
+splitmix64 — identical across runs, machines, and parallelism levels
+(FIXTURES.md global rule). The oracle crawls the *same* synthetic web, so
+engine-vs-oracle equality is meaningful.
+
+Host distribution is Zipf(s≈1.1) over ``n_hosts`` so one host owns a
+large share of URLs — this exercises host-hash partitioning + hot-host
+salting (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .config import CrawlConfig
+
+_U64 = np.uint64
+
+# splitmix64 (public-domain PRNG finalizer; Steele et al., "Fast Splittable
+# Pseudorandom Number Generators", OOPSLA 2014)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(_U64) + _SM_GAMMA)
+    z = (z ^ (z >> _U64(30))) * _SM_M1
+    z = (z ^ (z >> _U64(27))) * _SM_M2
+    return z ^ (z >> _U64(31))
+
+
+def derive(uids: np.ndarray, tag: int, seed: int) -> np.ndarray:
+    """Per-uid derived 64-bit stream: mix(uid, tag, seed)."""
+    x = uids.astype(_U64) * _U64(0x2545F4914F6CDD1D)
+    off = _U64((tag * int(_SM_GAMMA) + seed) & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(x + off)
+
+
+_EXTS = np.array(["txt", "md", "json", "pdf", "docx", "bin"])
+_EXT_CUM = np.cumsum(np.array([0.25, 0.15, 0.15, 0.20, 0.15, 0.10]))
+
+_VOCAB = np.array(
+    (
+        "crawl frontier fetch parse chunk embed index shard wave host link seed "
+        "politeness robots queue filter hash span text media token vector batch "
+        "arrow block stream spill shuffle sort group count merge scan write read "
+        "lance parquet actor task node cluster memory object store plasma ray "
+        "data page section document content binary metadata offset order depth "
+        "priority budget delay status payload scheme path anchor title body"
+    ).split()
+)
+
+
+@lru_cache(maxsize=8)
+def _host_cum(n_hosts: int, zipf_s: float) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_hosts + 1) ** zipf_s
+    return np.cumsum(w / w.sum())
+
+
+def host_idx_for(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    u = derive(uids, 1, cfg.seed).astype(np.float64) / 2.0**64
+    return np.searchsorted(_host_cum(cfg.n_hosts, cfg.zipf_s), u).astype(np.int32)
+
+
+def host_name(idx: int) -> str:
+    return f"h{idx:03d}.example.com"
+
+
+def ext_for(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    u = derive(uids, 2, cfg.seed).astype(np.float64) / 2.0**64
+    return _EXTS[np.searchsorted(_EXT_CUM, u, side="right").clip(0, len(_EXTS) - 1)]
+
+
+def bucket_for(uids: np.ndarray) -> np.ndarray:
+    """First path segment — robots disallow rules are prefixes over it."""
+    return (uids % 97).astype(np.int64)
+
+
+def urls_for(uids: np.ndarray, cfg: CrawlConfig) -> Tuple[List[str], List[str], List[str]]:
+    """Returns (urls, hosts, blob_names) for a batch of uids.
+
+    Layout: ``https://{host}/p/{bucket}/{uid}.{ext}``. ``blob_name`` is the
+    path without leading slash (the reference's blob analogue: container =
+    host, blob = path; ref shared/services/servicebus_processor.py:189-192).
+    """
+    hi = host_idx_for(uids, cfg)
+    ex = ext_for(uids, cfg)
+    bk = bucket_for(uids)
+    hosts = [host_name(i) for i in hi]
+    blobs = [f"p/{b}/{u}.{e}" for b, u, e in zip(bk, uids, ex)]
+    urls = [f"https://{h}/{bn}" for h, bn in zip(hosts, blobs)]
+    return urls, hosts, blobs
+
+
+def fanout_for(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    return (derive(uids, 3, cfg.seed) % _U64(cfg.link_fanout_max + 1)).astype(np.int64)
+
+
+def link_targets_for(uids: np.ndarray, cfg: CrawlConfig) -> List[np.ndarray]:
+    """Per-uid out-link target uids (ragged). Vectorized over the batch:
+    one (n, fanout_max) matrix masked by per-row fanout."""
+    n = len(uids)
+    if n == 0:
+        return []
+    fo = fanout_for(uids, cfg)
+    fmax = int(fo.max()) if n else 0
+    if fmax == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(n)]
+    j = np.arange(fmax, dtype=np.uint64)
+    m = splitmix64(
+        uids.astype(_U64)[:, None] * _U64(0xD1342543DE82EF95)
+        + (j + _U64(1))[None, :] * _SM_GAMMA
+        + _U64(cfg.seed) * _U64(7)
+    ) % _U64(cfg.universe)
+    m = m.astype(np.int64)
+    return [m[i, : fo[i]] for i in range(n)]
+
+
+# ---------------- robots ----------------
+
+def robots_rules(cfg: CrawlConfig) -> Dict[str, dict]:
+    """Per-host robots: crawl_delay_ms + disallowed path prefixes.
+
+    Stands in for a robots.txt cache; the reference's closest analogue is
+    rate-limit backoff (ref shared/utils/retry.py:150-158) + concurrency
+    caps (ref shared/config/settings.py:88-89).
+    """
+    out: Dict[str, dict] = {}
+    for i in range(cfg.n_hosts):
+        h = derive(np.array([i], dtype=np.int64), 11, cfg.seed)[0]
+        delay = int(50 + h % _U64(950))
+        prefixes: List[str] = []
+        if i % 5 == 0:  # every 5th host disallows two path buckets
+            b1, b2 = int(h % _U64(97)), int((h >> _U64(8)) % _U64(97))
+            prefixes = [f"/p/{b1}/", f"/p/{b2}/"]
+        out[host_name(i)] = {"crawl_delay_ms": delay, "disallow": prefixes}
+    return out
+
+
+def robots_blocks(url_path: str, prefixes: List[str]) -> bool:
+    return any(url_path.startswith(p) for p in prefixes)
+
+
+# ---------------- payloads ----------------
+
+def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
+    """(payload bytes, content_type) for one uid. Deterministic.
+
+    Formats (documented stand-ins for real files, parsed by
+    stages/parse.py with the reference's extraction semantics):
+      - txt/md:  plain text, sentences + ``LINK: url`` lines
+      - json:    {"title":…, "body":[…], "links":[…]}
+      - pdf:     pages separated by \\f (stands in for PyPDF2 page texts,
+                 ref shared/processing/file_extractor.py:135-149); some
+                 pages empty (whitespace) to exercise the skip-quirk
+      - docx:    newline-separated paragraphs (ref :176-195)
+      - bin:     opaque bytes -> metadata-only doc (ref :103-106)
+    """
+    uarr = np.array([uid], dtype=np.int64)
+    ext = str(ext_for(uarr, cfg)[0])
+    rng = np.random.Generator(np.random.PCG64(int(derive(uarr, 5, cfg.seed)[0])))
+    targets = link_targets_for(uarr, cfg)[0]
+    link_urls = urls_for(targets, cfg)[0] if len(targets) else []
+    link_lines = [f"LINK: {u}" for u in link_urls]
+
+    def sentences(n_words: int) -> str:
+        words = _VOCAB[rng.integers(0, len(_VOCAB), n_words)]
+        parts: List[str] = []
+        i = 0
+        while i < n_words:
+            k = int(rng.integers(5, 14))
+            parts.append(" ".join(words[i : i + k]) + ".")
+            i += k
+        return " ".join(parts)
+
+    if ext in ("txt", "md"):
+        body = sentences(int(rng.integers(40, 200)))
+        text = body + ("\n" + "\n".join(link_lines) if link_lines else "")
+        return text.encode("utf-8"), "text/plain"
+    if ext == "json":
+        obj = {
+            "title": sentences(int(rng.integers(3, 8))),
+            "body": [sentences(int(rng.integers(10, 30))) for _ in range(int(rng.integers(1, 4)))],
+            "links": link_urls,
+        }
+        return json.dumps(obj).encode("utf-8"), "application/json"
+    if ext == "pdf":
+        n_pages = int(rng.integers(2, 7))
+        pages = []
+        for p in range(n_pages):
+            if rng.random() < 0.15:
+                pages.append("   ")  # whitespace-only page -> skipped by parser
+            else:
+                pages.append(sentences(int(rng.integers(20, 80))))
+        if link_lines:
+            pages.append("\n".join(link_lines))
+        return "\f".join(pages).encode("utf-8"), "application/pdf"
+    if ext == "docx":
+        n_par = int(rng.integers(5, 55))
+        paras = [sentences(int(rng.integers(5, 20))) for _ in range(n_par)]
+        paras += link_lines
+        return "\n".join(paras).encode("utf-8"), "application/docx"
+    # bin: opaque bytes, no links
+    raw = rng.integers(0, 256, int(rng.integers(64, 2048)), dtype=np.uint8)
+    return raw.tobytes(), "application/octet-stream"
+
+
+def seed_uids(cfg: CrawlConfig) -> np.ndarray:
+    """Deterministic seed list: ~seeds_per_host × n_hosts distinct uids."""
+    n = cfg.seeds_per_host * cfg.n_hosts
+    i = np.arange(n * 3, dtype=np.int64)  # oversample, dedupe, trim
+    cand = (derive(i, 21, cfg.seed) % _U64(cfg.universe)).astype(np.int64)
+    _, first = np.unique(cand, return_index=True)
+    return cand[np.sort(first)][:n]

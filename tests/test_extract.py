@@ -1,0 +1,96 @@
+"""Extraction semantics (SURVEY.md §2.2 O2, O5-O8) — oracle + span model."""
+
+from __future__ import annotations
+
+import json
+
+from azure_blob_crawler_ray.oracle.ref_extract import (
+    extension_of,
+    extract,
+    flatten_json,
+)
+
+
+def test_extension_routing():
+    # ref file_extractor.py:82
+    assert extension_of("a/b/c.TXT") == "txt"
+    assert extension_of("noext") == ""
+    assert extension_of("many.dots.pdf") == "pdf"
+
+
+def test_text_single_page():
+    ex = extract("d.txt", b"hello world")
+    assert ex.full_content == "hello world"
+    assert ex.pages == ["hello world"]
+    assert not ex.skipped
+
+
+def test_utf8_ignore_decode():
+    # ref settings.py:104-105 — errors='ignore'
+    ex = extract("d.txt", b"ok\xff\xfebytes")
+    assert ex.full_content == "okbytes"
+
+
+def test_json_flatten():
+    # ref file_extractor.py:206-234
+    obj = {"title": "T", "items": ["a", {"k": "v"}], "empty": "", "n": 0}
+    text = flatten_json(obj)
+    assert "title: T" in text
+    assert "[0] a" in text
+    assert "[1] k: v" in text
+    assert "empty" not in text  # falsy values dropped
+    assert "n: 0" in text  # 0 -> str(0) = '0' which is truthy text
+
+
+def test_json_invalid_falls_back_to_text():
+    ex = extract("d.json", b"{not json")
+    assert ex.full_content == "{not json"
+
+
+def test_pdf_pages_skip_empty_but_number_advances():
+    # ref file_extractor.py:135-149
+    payload = "\f".join(["first page.", "   ", "third page."]).encode()
+    ex = extract("d.pdf", payload)
+    assert len(ex.pages) == 2
+    assert ex.pages[0].startswith("--- Page 1 ---\n")
+    assert ex.pages[1].startswith("--- Page 3 ---\n")  # numbering advanced
+    assert ex.full_content == "\n\n".join(ex.pages)
+
+
+def test_pdf_all_empty():
+    ex = extract("d.pdf", b" \f  \f ")
+    assert ex.full_content == "No readable text found in PDF"
+    assert ex.pages == []
+
+
+def test_docx_sections_of_20_paragraphs():
+    # ref file_extractor.py:176-195, settings.py:98
+    paras = [f"para {i}." for i in range(45)]
+    ex = extract("d.docx", "\n".join(paras).encode())
+    assert len(ex.pages) == 3  # 20 + 20 + 5
+    assert ex.pages[0].startswith("--- Section 1 ---\n")
+    assert ex.pages[2].startswith("--- Section 3 ---\n")
+
+
+def test_binary_metadata_and_media_span():
+    ex = extract("d.xyz", b"\x00\x01\x02", media_ref="https://h/p/d.xyz")
+    assert ex.full_content.startswith("Binary file: d.xyz")
+    spans = ex.spans()
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["text", "media"]
+    assert spans[1]["media_ref"] == "https://h/p/d.xyz"
+    assert [s["offset"] for s in spans] == [0, 1]
+
+
+def test_size_gate_skips():
+    # ref file_extractor.py:68-76 — oversize => skip-not-fail
+    ex = extract("big.txt", b"x" * (101 * 1024 * 1024))
+    assert ex.skipped
+    assert "exceeds limit" in ex.skip_reason
+
+
+def test_doc_id_collision_hazard():
+    # ref document_processor.py:328 (SURVEY.md §2.7 D1)
+    from azure_blob_crawler_ray.functions.urlnorm import doc_id_of
+
+    assert doc_id_of("a/b.txt") == doc_id_of("a.b_txt") == "a_b_txt"

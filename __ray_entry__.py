@@ -1,44 +1,451 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init(...)`` itself before importing this module:
+nothing here (or in the library code it calls) initialises or shuts down
+Ray. Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2
+(or a training-data op the 100 TB pipeline needs); ``oracle_sql()`` holds
+the DuckDB-equivalent SQL for every SQL-expressible entry, with IDENTICAL
+output column names. Scores that cross the boundary are integers
+(occurrence counts / ranks) or 2-decimal-rounded sums, so value hashes
+are exact.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _docs_as_blobs(sf_dir: str) -> ray.data.Dataset:
+    """documents rows -> synthetic text blobs for the ingest pipeline:
+    blob_name = '{source}/{doc_id}.txt', payload = utf-8 text bytes."""
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        names = [
+            f"{s}/{d}.txt"
+            for s, d in zip(batch["source"].to_pylist(), batch["doc_id"].to_pylist())
+        ]
+        payloads = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "url": pa.array([f"https://corpus/{n}" for n in names]),
+                "blob_name": pa.array(names, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ingest pipeline (parse -> chunk -> embed -> index) over
+    the sf0.001 documents table reinterpreted as text blobs."""
+    from azure_blob_crawler_ray.pipelines.ingest import ingest
+
+    blobs = _docs_as_blobs("/root/testdata/sf0.001")
+    return ingest(blobs, embed_dim=64)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ("data", "join")
+NUM_ANN_QUERIES = 8
+ANN_K = 10
+NEAR_DUP_THRESHOLD = 0.4  # synthetic 64-d embeddings: ~60 pairs clear it
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from azure_blob_crawler_ray.pipelines import dataprep, query, relational, similarity
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_text_stats(sf):
+        return dataprep.text_stats(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_langid(sf):
+        return dataprep.langid(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_fingerprint(sf):
+        return dataprep.fingerprint(
+            _read(sf, "documents", ["doc_id", "text"])
+        ).select_columns(["doc_id", "fp"])
+
+    def q_exact_dedup(sf):
+        return dataprep.exact_dedup(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_doc_lang_stats(sf):
+        from ray.data.aggregate import Count, Sum
+
+        return (
+            _read(sf, "documents", ["lang", "n_chars"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="doc_count"), Sum("n_chars", alias_name="total_chars"))
+            .sort("lang")
+        )
+
+    def q_text_search(sf):
+        return query.text_search(
+            _read(sf, "documents", ["doc_id", "text"]), SEARCH_TERMS, top=10
+        )
+
+    def q_hybrid_search(sf):
+        return query.hybrid_search(
+            _read(sf, "documents", ["doc_id", "text"]),
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            SEARCH_TERMS,
+            query_vec_id=0,
+            top=10,
+            pool=100,
+        )
+
+    def q_get_all_docs(sf):
+        return query.get_all_docs(_read(sf, "documents", ["doc_id"]))
+
+    def q_filter_select(sf):
+        return query.filter_select(
+            _read(sf, "documents", ["doc_id", "lang", "source", "n_chars"]),
+            expr="lang == 'en' and n_chars >= 200",
+            columns=["doc_id", "source", "n_chars"],
+            sort_by="doc_id",
+        )
+
+    def q_ann_topk(sf):
+        return similarity.brute_force_topk(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            num_queries=NUM_ANN_QUERIES,
+            k=ANN_K,
+        )
+
+    def q_cosine_near_dup(sf):
+        return similarity.cosine_near_dup_pairs(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            threshold=NEAR_DUP_THRESHOLD,
+        ).sort(["vec_a", "vec_b"])
+
+    def q_ingest_chunks(sf):
+        from azure_blob_crawler_ray.pipelines.ingest import chunk_stage, parse_stage
+
+        chunks = chunk_stage(parse_stage(_docs_as_blobs(sf)))
+        return (
+            chunks.select_columns(["chunk_id", "content"])
+            .rename_columns({"chunk_id": "id"})
+            .sort("id")
+        )
+
+    def q_lineitem_agg(sf):
+        return relational.lineitem_agg(_read(sf, "lineitem"))
+
+    def q_top_customers(sf):
+        return relational.top_customers(
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+            k=10,
+        )
+
+    def q_customers_per_region(sf):
+        return relational.customers_per_region(
+            _read(sf, "customer", ["c_nationkey"]),
+            _read(sf, "nation"),
+            _read(sf, "region"),
+        )
+
+    def q_events_by_type(sf):
+        return relational.events_by_type(_read(sf, "events", ["event_type", "value"]))
+
+    def q_events_daily(sf):
+        return relational.events_daily(_read(sf, "events", ["ts", "event_type"]))
+
+    def q_order_priority(sf):
+        return relational.order_priority_counts(
+            _read(sf, "orders", ["o_orderstatus", "o_orderpriority"])
+        )
+
+    def q_parts_by_brand(sf):
+        return relational.parts_by_brand(_read(sf, "part", ["p_brand", "p_retailprice"]))
+
+    # ---- rows-only ops (non-SQL-expressible; driver records row counts) ----
+
+    def q_minhash_lsh(sf):
+        return dataprep.minhash_lsh_pairs(
+            _read(sf, "documents", ["doc_id", "text"]), threshold=0.6
+        )
+
+    def q_simhash(sf):
+        return dataprep.simhash_pairs(
+            _read(sf, "documents", ["doc_id", "text"]), max_hamming=3
+        )
+
+    def q_ngram_jaccard(sf):
+        return dataprep.ngram_jaccard_pairs(
+            _read(sf, "documents", ["doc_id", "text"]), threshold=0.5
+        )
+
+    def q_lsh_near_dup(sf):
+        return similarity.lsh_near_dup_pairs(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            threshold=NEAR_DUP_THRESHOLD,
+        )
+
+    def q_ivf_topk(sf):
+        return similarity.ivf_topk(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            num_queries=NUM_ANN_QUERIES,
+            k=ANN_K,
+        )
+
+    def q_quality(sf):
+        return dataprep.quality_score(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_token_count_bpe(sf):
+        return dataprep.token_count_bpe(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_media_features(sf):
+        import pyarrow as pa
+
+        from azure_blob_crawler_ray.stages.media import media_features
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "media_id": batch["doc_id"],
+                    "payload": pa.array(
+                        [t.encode("utf-8") for t in batch["text"].to_pylist()],
+                        type=pa.large_binary(),
+                    ),
+                }
+            )
+
+        ds = _read(sf, "documents", ["doc_id", "text"]).map_batches(
+            to_media, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return media_features(ds, dim=32)
+
+    def q_crawl_order(sf):
+        from azure_blob_crawler_ray.config import CrawlConfig
+        from azure_blob_crawler_ray.pipelines.crawl import run_crawl
+        from azure_blob_crawler_ray.storage import read_table_arrow
+
+        out = "/tmp/abc_entry_crawl"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(
+            universe=600,
+            n_hosts=10,
+            max_waves=2,
+            wave_budget=150,
+            max_fetches_per_host_per_wave=32,
+            seeds_per_host=2,
+            out_dir=out,
+            emit_index=False,
+        )
+        res = run_crawl(cfg, fetch_concurrency=2)
+        import pyarrow as pa
+
+        tables = [
+            read_table_arrow(os.path.join(out, "order", f"wave-{w:04d}"))
+            for w in res.waves_run
+        ]
+        return pa.concat_tables(tables)
+
+    return {
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "doc_lang_stats": q_doc_lang_stats,
+        "text_search": q_text_search,
+        "hybrid_search": q_hybrid_search,
+        "get_all_docs": q_get_all_docs,
+        "filter_select": q_filter_select,
+        "ann_topk": q_ann_topk,
+        "cosine_near_dup": q_cosine_near_dup,
+        "ingest_chunks": q_ingest_chunks,
+        "lineitem_agg": q_lineitem_agg,
+        "top_customers": q_top_customers,
+        "customers_per_region": q_customers_per_region,
+        "events_by_type": q_events_by_type,
+        "events_daily": q_events_daily,
+        "order_priority": q_order_priority,
+        "parts_by_brand": q_parts_by_brand,
+        "minhash_lsh_dedup": q_minhash_lsh,
+        "simhash_dedup": q_simhash,
+        "ngram_jaccard_dedup": q_ngram_jaccard,
+        "lsh_near_dup": q_lsh_near_dup,
+        "ivf_topk": q_ivf_topk,
+        "quality_score": q_quality,
+        "token_count_bpe": q_token_count_bpe,
+        "media_features": q_media_features,
+        "crawl_order": q_crawl_order,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_OCC = "CAST((length({col}) - length(replace({col}, '{t}', ''))) / length('{t}') AS BIGINT)"
+
+
+def _occ(term: str, col: str = "text") -> str:
+    return _OCC.format(col=col, t=term)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    occ_the, occ_data, occ_join = _occ("the"), _occ("data"), _occ("join")
+    score = " + ".join(_occ(t) for t in SEARCH_TERMS)
+    return {
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS word_count,
+                   CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS punct_count,
+                   CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_count,
+                   CAST(length(text) AS BIGINT) AS char_count
+            FROM documents
+        """,
+        "langid": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN {occ_join} > {occ_the} AND {occ_join} > {occ_data} THEN 'fr'
+                     WHEN {occ_data} > {occ_the} THEN 'de'
+                     WHEN {occ_the} > 0 THEN 'en'
+                     ELSE 'und'
+                   END AS pred_lang
+            FROM documents
+        """,
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS fp, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_lang_stats": """
+            SELECT lang, COUNT(*) AS doc_count,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "text_search": f"""
+            SELECT doc_id, {score} AS score
+            FROM documents
+            ORDER BY score DESC, doc_id
+            LIMIT 10
+        """,
+        "hybrid_search": f"""
+            WITH tpool AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY ({score}) DESC, doc_id) AS text_rank
+                FROM documents
+                ORDER BY ({score}) DESC, doc_id
+                LIMIT 100
+            ), q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+            ), cpool AS (
+                SELECT e.vec_id,
+                       ROW_NUMBER() OVER (
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC,
+                                  e.vec_id) AS vec_rank
+                FROM embeddings e, q
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC, e.vec_id
+                LIMIT 100
+            )
+            SELECT t.doc_id, t.text_rank, c.vec_rank,
+                   t.text_rank + c.vec_rank AS fused
+            FROM tpool t JOIN cpool c ON t.doc_id = c.vec_id
+            ORDER BY fused, t.doc_id
+            LIMIT 10
+        """,
+        "get_all_docs": "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100000",
+        "filter_select": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < {NUM_ANN_QUERIES}
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC,
+                                  e.vec_id) AS rank
+                FROM embeddings e, q
+            )
+            SELECT query_id, rank, vec_id FROM scored WHERE rank <= {ANN_K}
+        """,
+        "cosine_near_dup": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_THRESHOLD}
+            ORDER BY vec_a, vec_b
+        """,
+        "ingest_chunks": """
+            SELECT replace(replace(source || '/' || CAST(doc_id AS VARCHAR) || '.txt',
+                                   '/', '_'), '.', '_') || '_chunk_0' AS id,
+                   text AS content
+            FROM documents ORDER BY id
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o.o_custkey AS c_custkey, c.c_name,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS order_count
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "customers_per_region": """
+            SELECT r.r_name, COUNT(*) AS customer_count
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS event_count,
+                   ROUND(SUM(value), 2) AS value_sum
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS event_count
+            FROM events GROUP BY day, event_type ORDER BY day, event_type
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, COUNT(*) AS part_count,
+                   ROUND(MIN(p_retailprice), 2) AS min_price,
+                   ROUND(MAX(p_retailprice), 2) AS max_price
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+    }

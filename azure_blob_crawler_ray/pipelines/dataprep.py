@@ -1,0 +1,543 @@
+"""Training-data preparation operators over a `documents` table
+(doc_id, text, ...) — the large-scale pipeline ops a 100 TB corpus needs
+on top of the reference's ingest semantics: text analysis, fingerprints
+and the deduplication family (exact, MinHash+LSH, SimHash, n-gram
+Jaccard).
+
+Everything is ``Dataset -> Dataset`` over Arrow batches. Design notes per
+operator explain the partitioning assumption that makes it scale: the
+only all-to-all exchanges are groupbys on content-hash / band-key /
+shingle-hash — all uniformly distributed keys — and every per-batch
+function is vectorized (pyarrow.compute / numpy); per-Python-row work is
+bounded by shingle extraction, which is inherent to the operator.
+
+Reference tie-in: the reference's only dedup story is deterministic doc
+ids + idempotent upsert (ref shared/processing/document_processor.py:328,
+shared/azure_clients/search_client.py:71-121, SURVEY.md §2.7 D1); the
+near-dup family generalizes it for corpus curation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.textstats import (
+    char_count,
+    char_ngrams,
+    md5_hex,
+    occurrences,
+    punct_count,
+    rolling_fingerprint,
+    upper_count,
+    word_count,
+)
+from ..hashing import hash64
+from ..tokenizer import Tokenizer
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc integer quality counters (SQL-verifiable): word, punct,
+    uppercase and char counts. One vectorized map_batches, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "word_count": pc.cast(word_count(t), pa.int64()),
+                "punct_count": pc.cast(punct_count(t), pa.int64()),
+                "upper_count": pc.cast(upper_count(t), pa.int64()),
+                "char_count": pc.cast(char_count(t), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Heuristic quality score in [0,1] from vectorized counters:
+    penalizes very short docs, punctuation-free walls of text, and
+    shouting. Engine-side only (float score; the integer inputs are the
+    SQL-checked surface in ``text_stats``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        wc = word_count(batch["text"]).to_numpy().astype(np.float64)
+        punct = punct_count(batch["text"]).to_numpy().astype(np.float64)
+        upper = upper_count(batch["text"]).to_numpy().astype(np.float64)
+        chars = char_count(batch["text"]).to_numpy().astype(np.float64)
+        length_score = np.clip(wc / 50.0, 0.0, 1.0)
+        punct_score = np.clip(punct / np.maximum(wc / 15.0, 1.0), 0.0, 1.0)
+        shout_penalty = np.clip(1.0 - upper / np.maximum(chars, 1.0) * 10.0, 0.0, 1.0)
+        score = (length_score + punct_score + shout_penalty) / 3.0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "quality": pa.array(score, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# language-ID marker terms: deterministic occurrence-count rule shared
+# with the SQL oracle (the real-world analogue is an n-gram profile; the
+# synthetic corpus has no language signal, so the RULE is the operator).
+LANG_MARKERS: List[Tuple[str, str]] = [("the", "en"), ("data", "de"), ("join", "fr")]
+
+
+def langid(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Marker-occurrence language ID: argmax of per-language marker
+    counts, earlier marker wins ties, 'und' when all zero."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        counts = [occurrences(t, term).to_numpy().astype(np.int64) for term, _ in LANG_MARKERS]
+        n = len(counts[0])
+        pred = np.full(n, "und", dtype=object)
+        best = np.zeros(n, dtype=np.int64)
+        for cnt, (_, lang) in zip(counts, LANG_MARKERS):
+            win = cnt > best  # strict: earlier marker keeps ties
+            pred[win] = lang
+            best = np.maximum(best, cnt)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(pred.tolist(), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Content fingerprints: md5 hex (SQL-verifiable) + 64-bit rolling
+    hash (engine-side lineage key)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": pa.array(md5_hex(texts), type=pa.string()),
+                "fp_roll": pa.array(rolling_fingerprint(texts)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_count_bpe(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Tokenizer-based token counts (the chunker's token budget currency,
+    ref shared/utils/chunking.py:42-56). Stateful tokenizer per actor."""
+
+    class Counter:
+        def __init__(self):
+            self.tok = Tokenizer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            counts = [self.tok.count_tokens(t) for t in batch["text"].to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "bpe_tokens": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+    return docs.map_batches(Counter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact content dedup: hash-partition by md5(text), keep the lowest
+    doc_id per group (D1 generalized). The groupby key is a uniform
+    content hash, so the shuffle is skew-free by construction; the text
+    column is dropped BEFORE the shuffle (only doc_id+fp move)."""
+
+    def fp_fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": pa.array(md5_hex(batch["text"].to_pylist()), type=pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(fp_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: ray.data.Dataset,
+    *,
+    ngram: int = 5,
+    num_perm: int = 64,
+) -> ray.data.Dataset:
+    """doc_id -> MinHash signature + shingle count (Broder '97 resemblance
+    sketch). Shingle extraction is the per-row cost; the k permutations
+    are one vectorized (num_shingles × num_perm) min-reduce per doc."""
+    a, b = _minhash_params(num_perm)
+
+    class Sig:
+        def __init__(self):
+            self.a, self.b = a, b
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sigs = []
+            sizes = []
+            for text in batch["text"].to_pylist():
+                sh = sorted(char_ngrams(text, ngram))
+                sizes.append(len(sh))
+                if not sh:
+                    sigs.append(np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64))
+                    continue
+                x = hash64(sh)  # (s,)
+                # (s, p) permutation values mod a Mersenne prime, min over s
+                v = (x[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+                sigs.append(v.min(axis=0))
+            flat = np.concatenate(sigs) if sigs else np.zeros(0, dtype=np.uint64)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "sig": pa.FixedSizeListArray.from_arrays(
+                        pa.array(flat, type=pa.uint64()), num_perm
+                    ),
+                    "n_shingles": pa.array(sizes, type=pa.int64()),
+                }
+            )
+
+    return docs.map_batches(Sig, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    *,
+    ngram: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by MinHash banding (Leskovec et al., MMDS ch.3):
+    band-key groupby generates candidates; estimated Jaccard =
+    signature-agreement fraction filters them. Returns
+    (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    Scale shape: the only shuffle is groupby(band, band_key) — band keys
+    are hashes, uniform. Buckets up to ``max_bucket`` emit all O(g²)
+    pairs (normal LSH); a pathological bucket (thousands of identical
+    docs) degrades to the star pattern — pairs against the group's
+    minimum doc_id only — which still suffices for keep-one dedup."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, ngram=ngram, num_perm=num_perm)
+
+    def band_explode(batch: pa.Table) -> pa.Table:
+        sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
+        n = sig.shape[0]
+        doc_ids = batch["doc_id"].to_numpy()
+        out_doc = np.repeat(doc_ids, bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        # band key: hash of the band's rows (vectorized mix)
+        keys = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            col = sig[:, np.arange(bands) * rows_per_band + r]
+            keys = keys * np.uint64(0x9E3779B97F4A7C15) + col
+        sig_list = [sig[i] for i in range(n) for _ in range(bands)]
+        flat = (
+            np.concatenate(sig_list) if sig_list else np.zeros(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc),
+                "band": pa.array(out_band),
+                "band_key": pa.array(keys.ravel()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, type=pa.uint64()), num_perm
+                ),
+            }
+        )
+
+    max_bucket = 200
+
+    def bucket_pairs(df):
+        import pandas as pd
+
+        df = df.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
+        if len(df) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
+            )
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        sigm = np.stack(df["sig"].to_numpy())
+        if len(ids) <= max_bucket:  # all pairs, vectorized agreement
+            ia, ib = np.triu_indices(len(ids), k=1)
+            agree = (sigm[ia] == sigm[ib]).mean(axis=1)
+            return pd.DataFrame(
+                {
+                    "doc_a": ids[ia],
+                    "doc_b": ids[ib],
+                    "est_jaccard": agree.astype(np.float64),
+                }
+            )
+        # pathological bucket: star pattern against the min-id doc
+        agree = (sigm[1:] == sigm[0]).mean(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
+                "doc_b": ids[1:],
+                "est_jaccard": agree.astype(np.float64),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(band_explode, batch_format="pyarrow")
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # same pair can surface from several bands -> collapse, keep max est
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+        .filter(expr=f"est_jaccard >= {threshold}")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: ray.data.Dataset, *, ngram: int = 3) -> ray.data.Dataset:
+    """64-bit SimHash (Charikar '02) over hashed character n-grams."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = np.zeros(batch.num_rows, dtype=np.uint64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            sh = sorted(char_ngrams(text, ngram))
+            if not sh:
+                continue
+            h = hash64(sh)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            vote = (2 * bits - 1).sum(axis=0)
+            out[i] = np.bitwise_or.reduce(
+                (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            )
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_pairs(
+    docs: ray.data.Dataset, *, ngram: int = 3, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-dup pairs with Hamming distance ≤ max_hamming. Block-permuted
+    candidate generation (Manku et al., WWW'07): split the 64-bit hash
+    into 4 16-bit blocks; any pair within distance 3 agrees on ≥1 block,
+    so groupby(block_idx, block_value) finds all candidates; verify
+    exact Hamming inside the group."""
+    sigs = simhash_signatures(docs, ngram=ngram)
+
+    def block_explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        doc_ids = batch["doc_id"].to_numpy()
+        blocks = np.stack(
+            [(h >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)], axis=1
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, 4)),
+                "block": pa.array(np.tile(np.arange(4, dtype=np.int32), len(h))),
+                "block_val": pa.array(blocks.ravel().astype(np.int64)),
+                "simhash": pa.array(np.repeat(h, 4)),
+            }
+        )
+
+    def verify(df):
+        import pandas as pd
+
+        df = df.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+        if len(df) < 2:
+            return empty
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        h = df["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = h[ia] ^ h[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": ham[keep]}
+        )
+
+    pairs = (
+        sigs.map_batches(block_explode, batch_format="pyarrow")
+        .groupby(["block", "block_val"])
+        .map_groups(verify, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index formulation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    ngram: int = 5,
+    threshold: float = 0.5,
+    max_posting: int = 2000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard similarity ≥ threshold, computed distributed
+    without ever comparing texts directly (inverted-index formulation):
+
+      doc -> (shingle_hash, doc_id, set_size)        [map_batches]
+      groupby(shingle % num_buckets)                 [ONE coarse shuffle:
+        -> co-occurring pairs per shingle run         per-bucket pair gen
+           (vectorized triu per run)                  is numpy, not
+                                                      per-group Python]
+      groupby(pair) -> intersection = pair count     [sort-aggregate]
+      jaccard = inter / (|a| + |b| - inter)          [exact, no text]
+
+    The shuffle key is a coarse HASH BUCKET of the shingle, not the
+    shingle itself — one map_groups call per bucket (64 total), each
+    doing vectorized run-detection + pair emission, instead of one
+    Python call per distinct shingle. Posting lists longer than
+    ``max_posting`` (stop-shingles present in ~every doc) are dropped —
+    the standard prefix-filter concession; intersections then undercount
+    only by shingles shared with more than ``max_posting`` documents."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids: List[int] = []
+        sh_hashes: List[np.ndarray] = []
+        sizes: List[int] = []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = sorted(char_ngrams(text, ngram))
+            h = hash64(sh) if sh else np.zeros(0, dtype=np.uint64)
+            doc_ids.extend([did] * len(h))
+            sh_hashes.append(h)
+            sizes.extend([len(h)] * len(h))
+        flat = np.concatenate(sh_hashes) if sh_hashes else np.zeros(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((flat % np.uint64(num_buckets)).astype(np.int32)),
+                "shingle": pa.array(flat),
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+                "set_size": pa.array(np.asarray(sizes, dtype=np.int64)),
+            }
+        )
+
+    def bucket_pairs(df):
+        """Per shingle-bucket: vectorized run-wise pair emission, then a
+        LOCAL combine (pack pair into one uint64, np.unique with counts)
+        — the partial-aggregation step that keeps the second shuffle
+        small. Output: one row per distinct pair within this bucket."""
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"pbucket": [], "pair": [], "size_a": [], "size_b": [], "inter": []}
+        ).astype({"pbucket": "int32", "pair": "uint64", "size_a": "int64",
+                  "size_b": "int64", "inter": "int64"})
+        if len(df) < 2:
+            return empty
+        df = df.sort_values(["shingle", "doc_id"], kind="mergesort")
+        sh = df["shingle"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        sz = df["set_size"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        out_pair, out_sa, out_sb = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > max_posting:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            a, b = ids[s:e][ia], ids[s:e][ib]
+            out_pair.append((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
+            out_sa.append(sz[s:e][ia])
+            out_sb.append(sz[s:e][ib])
+        if not out_pair:
+            return empty
+        pair = np.concatenate(out_pair)
+        sa = np.concatenate(out_sa)
+        sb = np.concatenate(out_sb)
+        uniq, first, inter = np.unique(pair, return_index=True, return_counts=True)
+        return pd.DataFrame(
+            {
+                "pbucket": (uniq % np.uint64(num_buckets)).astype(np.int32),
+                "pair": uniq,
+                "size_a": sa[first],
+                "size_b": sb[first],
+                "inter": inter.astype(np.int64),
+            }
+        )
+
+    def combine_pairs(df):
+        """Per pair-bucket: sum per-shingle-bucket partial intersections,
+        compute exact Jaccard, filter. Vectorized (np.add.at)."""
+        import pandas as pd
+
+        pair = df["pair"].to_numpy().astype(np.uint64)
+        uniq, inv = np.unique(pair, return_inverse=True)
+        inter = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(inter, inv, df["inter"].to_numpy().astype(np.int64))
+        first = np.full(len(uniq), -1, dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(pair) - 1, -1, -1)
+        sa = df["size_a"].to_numpy().astype(np.int64)[first]
+        sb = df["size_b"].to_numpy().astype(np.int64)[first]
+        jac = inter / (sa + sb - inter)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": (uniq[keep] >> np.uint64(32)).astype(np.int64),
+                "doc_b": (uniq[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "jaccard": jac[keep],
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(combine_pairs, batch_format="pandas")
+    )

@@ -1,0 +1,162 @@
+"""Query-side operators — the reference's MCP search tools (SURVEY.md
+§2.11 Q1-Q5) re-expressed over Ray Datasets:
+
+  Q1 text search   -> vectorized term-frequency scoring + exact top-k
+  Q2 vector search -> brute-force cosine top-k (pipelines/similarity.py)
+  Q3 hybrid        -> rank fusion of Q1 and Q2 (integer Borda sum — the
+                      reference delegates fusion to Azure RRF; ranks keep
+                      results exactly comparable across engines)
+  Q4 get_all_docs  -> select id + deterministic order + cap
+  Q5 projection    -> select_columns / drop vector
+
+All scores that cross an engine boundary are INTEGERS (occurrence counts
+and ranks) so conformance is exact, never float-rounded. Top-k ties break
+by ascending doc id — the explicit determinism the reference lacks
+(SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import SEARCH_ALL_DOCS_MAX, SEARCH_DEFAULT_TOP, SEARCH_MAX_TOP
+from ..functions.textstats import occurrences
+from .similarity import _emb_matrix, _normalize, load_queries
+
+
+def clamp_top(top: int) -> int:
+    """ref services/mcp_server/app/app.py:97 — clamp to [1, max]."""
+    return max(1, min(int(top), SEARCH_MAX_TOP))
+
+
+def tf_scores(
+    docs: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-doc integer relevance = Σ occurrences(term). Vectorized
+    substring counting per batch; no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        score = np.zeros(batch.num_rows, dtype=np.int64)
+        for t in terms:
+            score += occurrences(batch[text_col], t).to_numpy().astype(np.int64)
+        return pa.table({id_col: batch[id_col], "score": pa.array(score)})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_search(
+    docs: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    top: int = SEARCH_DEFAULT_TOP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Q1: top-k by TF score desc, id asc. The sort input is the tiny
+    (id, score) projection, not the corpus."""
+    k = clamp_top(top)
+    scored = tf_scores(docs, terms, id_col=id_col, text_col=text_col)
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def vector_search_ranks(
+    emb: ray.data.Dataset,
+    *,
+    num_queries: int = 4,
+    top: int = SEARCH_DEFAULT_TOP,
+) -> ray.data.Dataset:
+    """Q2 output shape (query_id, rank, vec_id); see similarity module."""
+    from .similarity import brute_force_topk
+
+    return brute_force_topk(emb, num_queries=num_queries, k=clamp_top(top))
+
+
+def hybrid_search(
+    docs: ray.data.Dataset,
+    emb: ray.data.Dataset,
+    terms: Sequence[str],
+    query_vec_id: int = 0,
+    *,
+    top: int = SEARCH_DEFAULT_TOP,
+    pool: int = 100,
+) -> ray.data.Dataset:
+    """Q3: join documents (text score) with embeddings (cosine rank to
+    the query vector) on doc_id == vec_id, fuse by Borda rank-sum
+    (integer; rank over a fixed candidate pool of ``pool`` ids), top-k by
+    fused score asc, id asc. Embedding side is broadcast-scored inside
+    map_batches (small-side lookup, no shuffle join)."""
+    import ray as _ray
+
+    k = clamp_top(top)
+    # cosine scores of every vector vs the chosen query vector
+    qdf = emb.filter(expr=f"vec_id == {query_vec_id}").to_pandas()
+    qv = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))[0]
+    q_ref = _ray.put(qv)
+
+    def cos(batch: pa.Table) -> pa.Table:
+        v = _ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cos": pa.array(m @ v, type=pa.float64()),
+            }
+        )
+
+    cos_pool = (
+        emb.map_batches(cos, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()
+    )
+    cos_pool["vec_rank"] = np.arange(1, len(cos_pool) + 1, dtype=np.int64)
+
+    tf_pool = (
+        tf_scores(docs, terms)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()
+    )
+    tf_pool["text_rank"] = np.arange(1, len(tf_pool) + 1, dtype=np.int64)
+
+    merged = tf_pool.merge(
+        cos_pool, left_on="doc_id", right_on="vec_id", how="inner"
+    )[["doc_id", "text_rank", "vec_rank"]]
+    merged["fused"] = merged["text_rank"] + merged["vec_rank"]
+    merged = merged.sort_values(["fused", "doc_id"], kind="mergesort").head(k)
+    return ray.data.from_pandas(
+        merged.reset_index(drop=True).astype(
+            {"doc_id": "int64", "text_rank": "int64", "vec_rank": "int64", "fused": "int64"}
+        )
+    )
+
+
+def get_all_docs(
+    docs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    cap: int = SEARCH_ALL_DOCS_MAX,
+) -> ray.data.Dataset:
+    """Q4: ids only, deterministic order, hard cap
+    (ref app.py:139-178, settings.py:146)."""
+    return docs.select_columns([id_col]).sort(id_col).limit(cap)
+
+
+def filter_select(
+    docs: ray.data.Dataset,
+    *,
+    expr: str,
+    columns: List[str],
+    sort_by: str,
+) -> ray.data.Dataset:
+    """J2/Q5: OData-style filter + field selection (ref app.py:96,127;
+    search_client.py:256-267) as predicate + projection pushdown."""
+    return docs.filter(expr=expr).select_columns(columns).sort(sort_by)

@@ -1,0 +1,209 @@
+"""Relational operator coverage over the TPC-H-ish test tables —
+broadcast joins, partial aggregation, sort/top-k — the generic shapes the
+crawl engine's wide steps are built from (SURVEY.md §2.4-2.6).
+
+Scale idioms demonstrated here and reused by the crawl pipeline:
+  * small-side broadcast join: dimension table read once, ``ray.put``,
+    dict-lookup inside map_batches — no shuffle;
+  * partial aggregation: per-batch combine BEFORE the groupby shuffle so
+    only (groups × batches) rows move, not raw rows;
+  * top-k: aggregate first, sort the tiny aggregate, never the fact table.
+
+Money sums are rounded to 2 decimals at the boundary (matching the SQL
+oracle's ROUND(SUM(x), 2)) — the only float columns that cross the
+conformance boundary."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _round2(col: pa.Array) -> pa.Array:
+    return pc.round(col, ndigits=2)
+
+
+def lineitem_agg(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """TPC-H Q1 shape: groupby(returnflag, linestatus) over lineitem with
+    per-batch partial aggregation — the shuffle moves one row per
+    (group × batch), not 6M rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"]
+        price = batch["l_extendedprice"]
+        disc = batch["l_discount"]
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "price": price,
+                "disc_price": disc_price,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "price", "disc_price", "cnt"]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": _round2(batch["sum(qty)"]),
+                "sum_base_price": _round2(batch["sum(price)"]),
+                "sum_disc_price": _round2(batch["sum(disc_price)"]),
+                "count_order": batch["sum(cnt)"],
+            }
+        )
+
+    return (
+        lineitem.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty"), Sum("price"), Sum("disc_price"), Sum("cnt"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+def top_customers(
+    orders: ray.data.Dataset, customer: ray.data.Dataset, *, k: int = 10
+) -> ray.data.Dataset:
+    """Revenue top-k with a broadcast dimension join: aggregate orders by
+    custkey (shuffle on the key), then map the small result through a
+    broadcast custkey -> name dict. The join never shuffles customer."""
+    cust_small = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
+    lookup: Dict[int, str] = dict(
+        zip(cust_small["c_custkey"].astype(int), cust_small["c_name"])
+    )
+    ref = ray.put(lookup)
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        keys = batch["o_custkey"].to_numpy()
+        names = [lk.get(int(c), "") for c in keys]
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": pa.array(names, type=pa.string()),
+                "revenue": _round2(batch["sum(o_totalprice)"]),
+                "order_count": batch["count()"],
+            }
+        )
+
+    return (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice"), Count())
+        .map_batches(attach_name, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def customers_per_region(
+    customer: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Two-hop broadcast join chain (customer -> nation -> region) +
+    count per region. Both dimension tables are tiny: one driver read,
+    one ray.put, map-side lookup."""
+    n = nation.to_pandas()
+    r = region.to_pandas()
+    nation_to_region = dict(zip(n["n_nationkey"].astype(int), n["n_regionkey"].astype(int)))
+    region_name = dict(zip(r["r_regionkey"].astype(int), r["r_name"]))
+    ref = ray.put((nation_to_region, region_name))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n2r, rname = ray.get(ref)
+        nk = batch["c_nationkey"].to_numpy()
+        names = [rname.get(n2r.get(int(x), -1), "") for x in nk]
+        return pa.table({"r_name": pa.array(names, type=pa.string())})
+
+    return (
+        customer.select_columns(["c_nationkey"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="customer_count"))
+        .sort("r_name")
+    )
+
+
+def events_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Stream-table rollup: count + value sum per event_type."""
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "event_count": batch["count()"],
+                "value_sum": _round2(batch["sum(value)"]),
+            }
+        )
+
+    return (
+        events.groupby("event_type")
+        .aggregate(Count(), Sum("value"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("event_type")
+    )
+
+
+def events_daily(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Windowed aggregate: per-day event counts — the timestamp truncation
+    happens vectorized inside map_batches, then a groupby on the (small)
+    day key."""
+
+    def day(batch: pa.Table) -> pa.Table:
+        d = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table({"day": d, "event_type": batch["event_type"]})
+
+    return (
+        events.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="event_count"))
+        .sort(["day", "event_type"])
+    )
+
+
+def order_priority_counts(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Filter + groupby count (TPC-H Q4 shape, predicate applied at scan)."""
+    return (
+        orders.filter(expr="o_orderstatus == 'F'")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .sort("o_orderpriority")
+    )
+
+
+def parts_by_brand(part: ray.data.Dataset) -> ray.data.Dataset:
+    """Groupby brand: count + min/max retail price (rounded)."""
+    from ray.data.aggregate import Max, Min
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "part_count": batch["count()"],
+                "min_price": _round2(batch["min(p_retailprice)"]),
+                "max_price": _round2(batch["max(p_retailprice)"]),
+            }
+        )
+
+    return (
+        part.groupby("p_brand")
+        .aggregate(Count(), Min("p_retailprice"), Max("p_retailprice"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("p_brand")
+    )

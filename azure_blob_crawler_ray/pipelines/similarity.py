@@ -1,0 +1,287 @@
+"""Similarity search over an embedding column (vec_id, embedding:
+list<float>, ...) — brute-force cosine top-k as the exact baseline and
+an IVF-bucketed variant as the scale path, plus cosine near-duplicate
+pairs.
+
+Scale shape: the query matrix is broadcast ONCE via ``ray.put`` and read
+inside every map task (never re-shipped per batch); each batch does one
+numpy matmul against it; per-block top-k results are tiny (Q×k rows per
+block), so the final exact merge is a small driver-side aggregation, not
+a data shuffle. This is the Ray-Data-native form of the reference's
+vector k-NN (delegated to Azure HNSW there — ref
+shared/azure_clients/search_client.py:249-259, index_definiton/
+index.json:44-55; semantics = top-k by cosine, SURVEY.md §2.6 K2)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return np.asarray(arr.values, dtype=np.float64).reshape(-1, dim)
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def load_queries(emb: ray.data.Dataset, num_queries: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(query_ids, normalized query matrix) = the ``num_queries`` lowest
+    vec_ids — deterministic and tiny (driver-side materialization of a
+    small side is the broadcast pattern, not a full-data pull)."""
+    small = emb.sort("vec_id").limit(num_queries).to_pandas()
+    qids = small["vec_id"].to_numpy().astype(np.int64)
+    qm = _normalize(np.stack(small["embedding"].to_numpy()).astype(np.float64))
+    return qids, qm
+
+
+def brute_force_topk(
+    emb: ray.data.Dataset,
+    *,
+    num_queries: int = 8,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Exact cosine top-k: per-block partial top-k against the broadcast
+    query matrix, then a final exact merge. Output (query_id, rank,
+    vec_id) — integer-only so results are order-exact and hashable.
+    Ties broken by vec_id ascending (deterministic)."""
+    qids, qm = load_queries(emb, num_queries)
+    q_ref = ray.put(qm.T)  # (dim, Q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch))  # (n, dim)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        sims = m @ qt  # (n, Q)
+        kk = min(k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            # deterministic within-block order: score desc, vec_id asc
+            top = top[np.lexsort((ids[top], -s[top]))]
+            out_q.append(np.full(len(top), j, dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        g = parts[parts["qi"] == j]
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["score"].to_numpy()))[:k]
+        chosen = g.iloc[order]
+        rows_q.extend([int(qid)] * len(chosen))
+        rows_r.extend(range(1, len(chosen) + 1))
+        rows_v.extend(chosen["vec_id"].astype(np.int64).tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "rank": pa.array(rows_r, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+            }
+        )
+    )
+
+
+def ivf_topk(
+    emb: ray.data.Dataset,
+    *,
+    num_queries: int = 8,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: Optional[np.ndarray] = None,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate top-k — the scale path: vectors
+    are assigned to their nearest centroid; a query only scans the
+    ``nprobe`` nearest centroid buckets. Centroids here are a
+    deterministic sample (lowest vec_ids), standing in for a k-means
+    fit; at 100 TB the assignment is the partitioning key, so the scan
+    prunes (nprobe/num_centroids) of the data.
+
+    Same output shape as ``brute_force_topk``; recall < 1 by design."""
+    qids, qm = load_queries(emb, num_queries)
+    if centroids is None:
+        cm = _normalize(
+            np.stack(
+                emb.sort("vec_id").limit(num_centroids).to_pandas()["embedding"].to_numpy()
+            ).astype(np.float64)
+        )
+    else:
+        cm = _normalize(centroids.astype(np.float64))
+    # each query probes its nprobe nearest centroids
+    probe = np.argsort(-(qm @ cm.T), axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+    q_ref = ray.put((qm.T, cm.T, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qt, ct, probe_ = ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch))
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        assign = np.argmax(m @ ct, axis=1)  # (n,) bucket per vector
+        sims = m @ qt  # (n, Q)
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            mask = np.isin(assign, probe_[j])
+            if not mask.any():
+                continue
+            s = sims[mask, j]
+            vid = ids[mask]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            top = top[np.lexsort((vid[top], -s[top]))]
+            out_q.append(np.full(len(top), j, dtype=np.int64))
+            out_v.append(vid[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "qi": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        g = parts[parts["qi"] == j]
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["score"].to_numpy()))[:k]
+        chosen = g.iloc[order]
+        rows_q.extend([int(qid)] * len(chosen))
+        rows_r.extend(range(1, len(chosen) + 1))
+        rows_v.extend(chosen["vec_id"].astype(np.int64).tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "rank": pa.array(rows_r, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+            }
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine ≥ threshold — exact all-pairs via
+    block × broadcast matmul. The full normalized matrix is broadcast
+    once (exact baseline; the LSH-bucketed variant below scales past
+    broadcastable sizes). Output (vec_a, vec_b) integer pairs."""
+    all_df = emb.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids_all = all_df["vec_id"].to_numpy().astype(np.int64)
+    m_all = _normalize(np.stack(all_df["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, m_all.T))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, mt = ray.get(ref)
+        m = _normalize(_emb_matrix(batch))
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        sims = m @ mt  # (n, N)
+        ii, jj = np.nonzero(sims >= threshold)
+        a = ids[ii]
+        b = ids_a[jj]
+        keep = a < b  # dedupe orientation + drop self-pairs
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lsh_near_dup_pairs(
+    emb: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    num_tables: int = 8,
+    num_bits: int = 12,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Scale path for cosine near-dup: random-hyperplane LSH (Charikar
+    '02). Each vector gets ``num_tables`` sketch keys; candidates share a
+    key in ≥1 table; exact cosine verifies inside the bucket groupby.
+    Only (vec_id, key, embedding) rows shuffle — uniform hash keys."""
+    planes = None  # built lazily once dim is known
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        m = _normalize(_emb_matrix(batch))
+        if planes is None:
+            planes = np.random.Generator(np.random.PCG64(seed)).standard_normal(
+                (m.shape[1], num_tables * num_bits)
+            )
+        bits = (m @ planes) > 0  # (n, T*B)
+        keys = np.zeros((m.shape[0], num_tables), dtype=np.uint64)
+        for t in range(num_tables):
+            block = bits[:, t * num_bits : (t + 1) * num_bits]
+            keys[:, t] = (block * (1 << np.arange(num_bits, dtype=np.uint64))).sum(axis=1)
+            keys[:, t] |= np.uint64(t) << np.uint64(32)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        emb_list = [m[i] for i in range(m.shape[0]) for _ in range(num_tables)]
+        flat = np.concatenate(emb_list) if emb_list else np.zeros(0)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, num_tables)),
+                "key": pa.array(keys.ravel()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, type=pa.float64()), m.shape[1] if m.size else 0
+                ),
+            }
+        )
+
+    def verify(df):
+        import pandas as pd
+
+        df = df.sort_values("vec_id", kind="mergesort").drop_duplicates("vec_id")
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        if len(df) < 2:
+            return empty
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        m = np.stack(df["vec"].to_numpy())
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]]})
+
+    pairs = (
+        emb.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="tables"))

@@ -1,0 +1,137 @@
+"""Dedup family + text analysis vs brute-force Python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.functions.textstats import char_ngrams, jaccard
+from azure_blob_crawler_ray.pipelines import dataprep
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_text_stats_matches_python(docs_ds, docs_pd):
+    import re
+
+    got = dataprep.text_stats(docs_ds).to_pandas().set_index("doc_id").sort_index()
+    for _, row in docs_pd.head(50).iterrows():
+        t = row["text"]
+        g = got.loc[row["doc_id"]]
+        assert g["word_count"] == len(re.findall(r"\S+", t))
+        assert g["punct_count"] == len(re.findall(r"[.!?,;:]", t))
+        assert g["char_count"] == len(t)
+
+
+def test_exact_dedup_collapses_planted_dups(docs_ds, docs_pd):
+    # plant exact duplicates by unioning a copy with shifted ids
+    dup = pa.table(
+        {
+            "doc_id": pa.array((docs_pd["doc_id"] + 10_000).astype("int64")),
+            "text": pa.array(docs_pd["text"]),
+        }
+    )
+    both = docs_ds.union(ray.data.from_arrow(dup))
+    out = dataprep.exact_dedup(both).to_pandas()
+    assert len(out) == len(docs_pd)  # every original text collapses once
+    assert (out["dup_count"] == 2).all()
+    assert (out["doc_id"] < 10_000).all()  # keeper is the min id
+
+
+def _brute_jaccard_pairs(texts: pd.Series, ids: pd.Series, ngram: int, th: float):
+    sets = {i: char_ngrams(t, ngram) for i, t in zip(ids, texts)}
+    keys = sorted(sets)
+    out = set()
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            if jaccard(sets[a], sets[b]) >= th:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(docs_ds, docs_pd):
+    got = dataprep.ngram_jaccard_pairs(docs_ds, ngram=5, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    exp = _brute_jaccard_pairs(docs_pd["text"], docs_pd["doc_id"], 5, 0.5)
+    assert got_pairs == exp
+    # jaccard values are exact
+    sets = {i: char_ngrams(t, 5) for i, t in zip(docs_pd["doc_id"], docs_pd["text"])}
+    for _, r in got.iterrows():
+        assert abs(r["jaccard"] - jaccard(sets[r["doc_a"]], sets[r["doc_b"]])) < 1e-12
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs_ds, docs_pd):
+    exp = _brute_jaccard_pairs(docs_pd["text"], docs_pd["doc_id"], 5, 0.8)
+    assert exp, "corpus should contain planted near-dups"
+    got = dataprep.minhash_lsh_pairs(docs_ds, threshold=0.6).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # LSH at threshold 0.6 with 16 bands x 4 rows: recall on >=0.8 pairs
+    found = len(exp & got_pairs) / len(exp)
+    assert found >= 0.9, f"recall {found} over {len(exp)} true pairs"
+    # precision: every reported pair really is similar (est >= 0.6 -> true >= 0.4)
+    sets = {i: char_ngrams(t, 5) for i, t in zip(docs_pd["doc_id"], docs_pd["text"])}
+    for a, b in got_pairs:
+        assert jaccard(sets[a], sets[b]) >= 0.4
+
+
+def test_simhash_planted_dups(docs_ds, docs_pd):
+    got = dataprep.simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # exact text dups must always be found (hamming 0)
+    exact = _brute_jaccard_pairs(docs_pd["text"], docs_pd["doc_id"], 3, 0.999)
+    assert exact <= got_pairs
+    # reported pairs are textually similar
+    sets = {i: char_ngrams(t, 3) for i, t in zip(docs_pd["doc_id"], docs_pd["text"])}
+    for a, b in got_pairs:
+        assert jaccard(sets[a], sets[b]) >= 0.5
+
+
+def test_langid_deterministic_rule(docs_ds, docs_pd):
+    got = dataprep.langid(docs_ds).to_pandas().set_index("doc_id")
+    for _, row in docs_pd.head(80).iterrows():
+        t = row["text"]
+        occ = {m: t.count(m) for m, _ in dataprep.LANG_MARKERS}
+        if occ["join"] > occ["the"] and occ["join"] > occ["data"]:
+            exp = "fr"
+        elif occ["data"] > occ["the"]:
+            exp = "de"
+        elif occ["the"] > 0:
+            exp = "en"
+        else:
+            exp = "und"
+        assert got.loc[row["doc_id"], "pred_lang"] == exp
+
+
+def test_fingerprint_md5(docs_ds, docs_pd):
+    import hashlib
+
+    got = dataprep.fingerprint(docs_ds).to_pandas().set_index("doc_id")
+    for _, row in docs_pd.head(20).iterrows():
+        assert (
+            got.loc[row["doc_id"], "fp"]
+            == hashlib.md5(row["text"].encode()).hexdigest()
+        )
+
+
+def test_rolling_fingerprint_properties():
+    from azure_blob_crawler_ray.functions.textstats import rolling_fingerprint
+
+    a = rolling_fingerprint(["hello world", "hello world", "hello world!"])
+    assert a[0] == a[1]
+    assert a[0] != a[2]
+    assert rolling_fingerprint([""])[0] == 0

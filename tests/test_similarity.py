@@ -1,0 +1,100 @@
+"""ANN / near-dup over embeddings vs numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.pipelines import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def emb_np():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
+def _brute_topk(ids, m, num_queries, k):
+    order = np.argsort(ids, kind="stable")
+    qidx = order[:num_queries]
+    out = {}
+    for qi in qidx:
+        sims = m @ m[qi]
+        top = np.lexsort((ids, -sims))[:k]
+        out[int(ids[qi])] = [int(ids[t]) for t in top]
+    return out
+
+
+def test_brute_force_topk_exact(emb_ds, emb_np):
+    ids, m = emb_np
+    got = similarity.brute_force_topk(emb_ds, num_queries=5, k=7).to_pandas()
+    exp = _brute_topk(ids, m, 5, 7)
+    for qid, expected in exp.items():
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert g["vec_id"].tolist() == expected
+
+
+def test_ivf_topk_recall(emb_ds, emb_np):
+    ids, m = emb_np
+    got = similarity.ivf_topk(emb_ds, num_queries=5, k=10, num_centroids=16, nprobe=8).to_pandas()
+    exp = _brute_topk(ids, m, 5, 10)
+    recalls = []
+    for qid, expected in exp.items():
+        g = set(got[got["query_id"] == qid]["vec_id"].tolist())
+        recalls.append(len(g & set(expected)) / len(expected))
+    assert np.mean(recalls) >= 0.5  # nprobe=8/16 -> decent recall
+    # rank 1 must be the query itself (cos=1), always in its own probe set
+    for qid in exp:
+        g = got[(got["query_id"] == qid) & (got["rank"] == 1)]
+        assert g["vec_id"].iloc[0] == qid
+
+
+def test_cosine_near_dup_exact(emb_ds, emb_np):
+    ids, m = emb_np
+    th = 0.4
+    got = similarity.cosine_near_dup_pairs(emb_ds, threshold=th).to_pandas()
+    sims = m @ m.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = sims[ia, ib] >= th
+    exp = set(zip(ids[ia[keep]], ids[ib[keep]]))
+    assert set(zip(got["vec_a"], got["vec_b"])) == exp
+    assert len(got) > 0
+
+
+def test_lsh_near_dup_on_planted_dups():
+    # random corpus + planted near-identical vectors: LSH must find them
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((300, 32))
+    planted = base[:20] + rng.standard_normal((20, 32)) * 0.03  # cos ~ 0.999
+    m = np.vstack([base, planted])
+    ids = np.arange(len(m), dtype=np.int64)
+    flat = m.astype(np.float32).ravel()
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, type=pa.float32()), 32
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = similarity.lsh_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    expected = {(i, 300 + i) for i in range(20)}
+    found = len(expected & got_pairs) / len(expected)
+    assert found >= 0.9, f"LSH recall {found}"

@@ -192,8 +192,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_ngram_jaccard(sf):
+        # 12-char shingles keep postings sparse on this small-vocab
+        # corpus; max_posting drops stop-shingles (present in >200 docs)
+        # — the standard prefix-filter concession that keeps the
+        # inverted-index pair explosion linear in true near-dup density
         return dataprep.ngram_jaccard_pairs(
-            _read(sf, "documents", ["doc_id", "text"]), threshold=0.5
+            _read(sf, "documents", ["doc_id", "text"]),
+            ngram=12,
+            threshold=0.5,
+            max_posting=200,
         )
 
     def q_lsh_near_dup(sf):
@@ -238,8 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_crawl_order(sf):
         from azure_blob_crawler_ray.config import CrawlConfig
-        from azure_blob_crawler_ray.pipelines.crawl import run_crawl
-        from azure_blob_crawler_ray.storage import read_table_arrow
+        from azure_blob_crawler_ray.pipelines.crawl import read_crawl_order, run_crawl
 
         out = "/tmp/abc_entry_crawl"
         shutil.rmtree(out, ignore_errors=True)
@@ -253,14 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_dir=out,
             emit_index=False,
         )
-        res = run_crawl(cfg, fetch_concurrency=2)
-        import pyarrow as pa
-
-        tables = [
-            read_table_arrow(os.path.join(out, "order", f"wave-{w:04d}"))
-            for w in res.waves_run
-        ]
-        return pa.concat_tables(tables)
+        res = run_crawl(cfg)
+        return read_crawl_order(out, res.waves_run)
 
     return {
         "text_stats": q_text_stats,

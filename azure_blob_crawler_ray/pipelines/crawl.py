@@ -4,8 +4,9 @@ Per wave, everything is Ray Data over Arrow batches:
 
   frontier (read from checkpoint)
     -> robots gate            stateless map_batches, broadcast rules
-    -> salted per-host top-k  groupby(host,salt) + groupby(host) shuffle
-                              (hot-host skew bound, SURVEY.md §7.4)
+    -> per-host top-cap       local per-block combiner (skew bound) +
+                              one groupby(sched_shard) with vectorized
+                              per-host caps (host -> shard is consistent)
     -> canonical sort+limit   ds.sort(priority desc, discovered_at,
                               url_hash).limit(wave_budget)
     -> politeness admission   groupby(sched_shard).map_groups calling the
@@ -51,9 +52,6 @@ from ..state.seen import SeenShard
 from ..storage import is_complete, read_table, read_table_arrow, write_arrow, write_json, write_table
 from .ingest import chunk_stage, embed_stage, index_stage, parse_stage
 
-_N_SALTS = 8
-
-
 @dataclass
 class CrawlRunResult:
     out_dir: str
@@ -64,8 +62,10 @@ class CrawlRunResult:
 
 # ---------- small pure helpers (stage bodies) ----------
 
-def _tag_frontier(robots: Dict[str, dict]):
-    """Returns a map_batches fn adding blocked/salt/sched_shard columns."""
+def _tag_frontier(robots: Dict[str, dict], num_sched_shards: int):
+    """map_batches fn adding the robots 'blocked' column and the
+    politeness shard id (hash64(host) % shards — host-consistent, so a
+    groupby(sched_shard) co-locates every row of a host)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -74,10 +74,11 @@ def _tag_frontier(robots: Dict[str, dict]):
             synth.robots_blocks(split_host_path(u)[1], robots.get(h, {}).get("disallow", []))
             for u, h in zip(urls, hosts)
         ]
-        uh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return (
-            batch.append_column("blocked", pa.array(blocked, type=pa.bool_()))
-            .append_column("salt", pa.array((uh % _N_SALTS).astype(np.int32)))
+        hh = hash64(hosts)
+        return batch.append_column(
+            "blocked", pa.array(blocked, type=pa.bool_())
+        ).append_column(
+            "sched_shard", pa.array((hh % np.uint64(num_sched_shards)).astype(np.int32))
         )
 
     return fn
@@ -92,9 +93,31 @@ def _sort_canonical_pd(df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[idx]
 
 
-def _head_per_group(cap: int):
+def _shard_host_cap(cap: int):
+    """Per sched-shard EXACT per-host cap: every row of a host lives in
+    exactly one shard group, so canonical-sort + groupby(host).head(cap)
+    inside the group applies the global cap. One Python call per shard
+    (16), vectorized pandas within — not one call per host."""
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return _sort_canonical_pd(df).head(cap)
+        return _sort_canonical_pd(df).groupby("host", sort=False).head(cap)
+
+    return fn
+
+
+def _local_host_cap(cap: int):
+    """Map-side combiner for the per-host cap: within one block, keep at
+    most ``cap`` rows per host (in canonical order). Any row beyond the
+    cap within a single block is beyond it globally, so this prunes hot
+    hosts BEFORE the groupby(host) shuffle — the skew bound the salted
+    two-phase variant provided, without the extra all-to-all."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        kept = (
+            _sort_canonical_pd(df).groupby("host", sort=False).head(cap)
+        )
+        return pa.Table.from_pandas(kept, preserve_index=False)
 
     return fn
 
@@ -134,14 +157,18 @@ def _probe_router(actors: List, wave: int):
 
 def _explode_links(wave: int, num_seen_shards: int):
     def fn(batch: pa.Table) -> pa.Table:
-        urls: List[str] = []
-        depths: List[int] = []
-        parent_depth = batch["depth"].to_pylist() if "depth" in batch.column_names else [0] * batch.num_rows
-        for links, pd_ in zip(batch["links"].to_pylist(), parent_depth):
-            d = int(pd_ or 0) + 1
-            for u in links:
-                urls.append(u)
-                depths.append(d)
+        # Arrow-native flatten: list offsets -> per-link parent depth via
+        # np.repeat; no per-row Python loop over link lists.
+        col = batch["links"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if "depth" in batch.column_names:
+            pdep = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            pdep = np.zeros(batch.num_rows, dtype=np.int64)
+        counts = col.value_lengths().to_numpy(zero_copy_only=False)
+        urls = col.flatten().to_pylist()
+        depths = np.repeat(pdep + 1, counts).tolist()
         if urls:
             # in-batch pre-dedupe (cheap combiner before the shuffle)
             seen_local: Dict[str, int] = {}
@@ -185,23 +212,24 @@ def _seed_frontier(cfg: CrawlConfig) -> ray.data.Dataset:
     return ray.data.from_arrow(t)
 
 
-def _add_sched_shard(num_sched_shards: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        hh = hash64(batch["host"].to_pylist())
-        return batch.append_column(
-            "sched_shard", pa.array((hh % np.uint64(num_sched_shards)).astype(np.int32))
-        )
-
-    return fn
-
-
 # ---------- the wave loop ----------
 
-def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
+def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
     out = CrawlRunResult(out_dir=cfg.out_dir)
     os.makedirs(cfg.out_dir, exist_ok=True)
     ckpt = cfg.checkpoint_dir or os.path.join(cfg.out_dir, "ckpt")
     os.makedirs(ckpt, exist_ok=True)
+
+    # Block-level parallelism, two regimes (results unaffected — all
+    # semantics come from keys and sorts, never block layout, §2.9):
+    #  * shuffle_width: frontier-sized control data (urls + keys) keeps a
+    #    FIXED modest width — all-to-all cost grows with block count and
+    #    ~30 MB of rows gains nothing from 64-way splits;
+    #  * compute_blocks: fetch/parse (per-doc Python work) fans out to
+    #    ~2 blocks per CPU so the map stages use the whole machine.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    shuffle_width = 16
+    compute_blocks = max(16, 4 * ncpu)
 
     robots = synth.robots_rules(cfg)
     robots_ref = ray.put(robots)
@@ -245,36 +273,54 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
 
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.time()
-        if frontier.count() == 0:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
-        m: dict = {"wave": wave, "frontier": frontier.count()}
+        m: dict = {"wave": wave, "frontier": n_frontier}
+        tprev = time.time()
 
-        tagged = frontier.map_batches(
-            _tag_frontier(robots), batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        def _tick(label: str) -> None:
+            nonlocal tprev
+            now = time.time()
+            m[f"t_{label}"] = round(now - tprev, 2)
+            tprev = now
+
+        tagged = (
+            frontier.repartition(shuffle_width)
+            .map_batches(
+                _tag_frontier(robots, cfg.num_sched_shards),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
         unblocked = tagged.filter(expr="blocked == False")
         m["robots_blocked"] = m["frontier"] - unblocked.count()
+        _tick("tag")
 
-        # salted two-phase per-host cap (exact per-host top-cap, skew-safe)
+        # exact per-host top-cap, skew-safe: local per-block combiner
+        # prunes hot hosts to <= cap rows/block, then ONE groupby(host)
+        # applies the global cap (same result as the salted two-phase
+        # variant, one less shuffle)
         cap = cfg.max_fetches_per_host_per_wave
         kept = (
-            unblocked.groupby(["host", "salt"])
-            .map_groups(_head_per_group(cap), batch_format="pandas")
-            .groupby("host")
-            .map_groups(_head_per_group(cap), batch_format="pandas")
+            unblocked.map_batches(
+                _local_host_cap(cap), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("sched_shard")
+            .map_groups(_shard_host_cap(cap), batch_format="pandas")
         )
-        cand = (
-            kept.sort(["priority", "discovered_at", "url_hash"], descending=[True, False, False])
-            .limit(cfg.wave_budget)
-            .map_batches(_add_sched_shard(cfg.num_sched_shards), batch_format="pyarrow")
-        )
+        cand = kept.sort(
+            ["priority", "discovered_at", "url_hash"], descending=[True, False, False]
+        ).limit(cfg.wave_budget)
         decisions = (
             cand.groupby("sched_shard")
             .map_groups(_admit_router(sched, wave), batch_format="pandas")
             .materialize()
         )
+        _tick("admit")
         admitted = decisions.filter(expr="admit == True").drop_columns(
-            ["admit", "blocked", "salt", "sched_shard"]
+            ["admit", "blocked", "sched_shard"]
         ).materialize()
         m["admitted"] = admitted.count()
 
@@ -285,6 +331,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
             else set()
         )
         adm_ref = ray.put(np.array(sorted(adm_hashes), dtype=np.uint64))
+        _tick("admitted_mat")
 
         def _drop_admitted(batch: pa.Table, _ref=adm_ref) -> pa.Table:
             hs = ray.get(_ref)
@@ -292,25 +339,35 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
             mask = ~np.isin(uh_, hs)
             return batch.filter(pa.array(mask))
 
-        deferred = unblocked.drop_columns(["blocked", "salt"]).map_batches(
+        deferred = unblocked.drop_columns(["blocked", "sched_shard"]).map_batches(
             _drop_admitted, batch_format="pyarrow"
         )
 
-        # fetch + parse (payload dropped inside parse)
-        from ..sources.fetch import SyntheticFetcher
+        # fetch + parse (payload dropped inside parse). Task-pool fetch
+        # over ~2 blocks/CPU; a real-network fetcher would be an actor
+        # pool (see sources/fetch.py).
+        from ..sources.fetch import make_fetcher
 
-        fetched = admitted.map_batches(
-            SyntheticFetcher,
-            fn_constructor_args=(cfg,),
+        fetched = admitted.repartition(compute_blocks).map_batches(
+            make_fetcher(cfg),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=fetch_concurrency,
         )
         parsed = parse_stage(fetched).materialize()
+        _tick("fetch_parse")
 
-        docs = parsed.filter(expr="skipped == False").drop_columns(["links", "skipped"])
+        # one write carries BOTH artifacts: document rows (skipped==False)
+        # and the crawl-order columns (every admitted fetch, incl. skipped)
+        # — the order view is derived at read time (read_crawl_order),
+        # saving a per-wave sort+write execution. full_content duplicates
+        # the span texts; persist it only when the index stages (which
+        # consume it) are on — at crawl scale derivable data is re-derived,
+        # not stored twice.
+        drop_cols = ["links"] if cfg.emit_index else ["links", "full_content"]
+        docs = parsed.drop_columns(drop_cols)
         write_table(docs, os.path.join(cfg.out_dir, "documents", f"wave-{wave:04d}"))
-        m["docs"] = docs.count()
+        m["docs"] = parsed.filter(expr="skipped == False").count()
+        _tick("docs_write")
 
         if cfg.emit_index:
             chunks = chunk_stage(
@@ -320,16 +377,10 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
             index = index_stage(embed_stage(chunks, cfg.embed_dim))
             write_table(index, os.path.join(cfg.out_dir, "index", f"wave-{wave:04d}"))
 
-        # crawl-order artifact (deterministic: fetch_ms then url_hash)
-        order = parsed.select_columns(["wave", "fetch_ms", "url_hash", "url"]).sort(
-            ["fetch_ms", "url_hash"]
-        )
-        write_table(order, os.path.join(cfg.out_dir, "order", f"wave-{wave:04d}"))
-
         # link discovery -> seen-set anti-join -> fresh frontier rows
         links = parsed.map_batches(
             _explode_links(wave, cfg.num_seen_shards), batch_format="pyarrow"
-        )
+        ).repartition(shuffle_width)
         fresh = (
             links.groupby("seen_shard")
             .map_groups(_probe_router(seen, wave), batch_format="pandas")
@@ -339,6 +390,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
         wdir = os.path.join(ckpt, f"wave-{wave:04d}")
         os.makedirs(wdir, exist_ok=True)
         write_table(nxt, os.path.join(wdir, "frontier"))
+        _tick("frontier_write")
 
         # checkpoint state + lineage, then commit the wave marker
         snaps = ray.get([a.snapshot.remote() for a in sched])
@@ -349,6 +401,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
                 f.write(b)
         frontier = read_table(os.path.join(wdir, "frontier"))
         m["fresh_plus_deferred"] = frontier.count()
+        _tick("ckpt")
         m["wall_s"] = round(time.time() - t0, 3)
         stats = ray.get([a.stats.remote() for a in seen])
         m["seen_total"] = int(sum(s["count"] for s in stats))
@@ -368,3 +421,29 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=(1, 8)) -> CrawlRunResult:
     for a in sched + seen:
         ray.kill(a)
     return out
+
+# ---------- read-side views over the wave outputs ----------
+
+def read_crawl_order(out_dir: str, waves) -> "pa.Table":
+    """Crawl-order view: every admitted fetch (skipped or not) of the
+    given waves, sorted (wave, fetch_ms, url_hash). Derived from the
+    documents tables — the engine writes one artifact per wave."""
+    import pyarrow.compute as pc
+
+    tables = []
+    for w in waves:
+        t = read_table_arrow(os.path.join(out_dir, "documents", f"wave-{w:04d}"))
+        tables.append(t.select(["wave", "fetch_ms", "url_hash", "url"]))
+    t = pa.concat_tables(tables)
+    return t.sort_by([("wave", "ascending"), ("fetch_ms", "ascending"), ("url_hash", "ascending")])
+
+
+def read_documents(out_dir: str, waves) -> "pa.Table":
+    """Document rows (skipped fetches excluded) of the given waves."""
+    import pyarrow.compute as pc
+
+    tables = []
+    for w in waves:
+        t = read_table_arrow(os.path.join(out_dir, "documents", f"wave-{w:04d}"))
+        tables.append(t.filter(pc.equal(t["skipped"], False)))
+    return pa.concat_tables(tables)

@@ -259,28 +259,31 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, ngram=ngram, num_perm=num_perm)
 
+    num_gbuckets = 64
+
     def band_explode(batch: pa.Table) -> pa.Table:
         sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(-1, num_perm)
         n = sig.shape[0]
         doc_ids = batch["doc_id"].to_numpy()
         out_doc = np.repeat(doc_ids, bands)
-        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        out_band = np.tile(np.arange(bands, dtype=np.int64), n)
         # band key: hash of the band's rows (vectorized mix)
         keys = np.zeros((n, bands), dtype=np.uint64)
         for r in range(rows_per_band):
             col = sig[:, np.arange(bands) * rows_per_band + r]
             keys = keys * np.uint64(0x9E3779B97F4A7C15) + col
-        sig_list = [sig[i] for i in range(n) for _ in range(bands)]
-        flat = (
-            np.concatenate(sig_list) if sig_list else np.zeros(0, dtype=np.uint64)
-        )
+        # fold band index into the key so one sort groups (band, key) runs
+        bkey = keys ^ (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(56))
+        flat_sig = np.repeat(sig, bands, axis=0).ravel()
         return pa.table(
             {
                 "doc_id": pa.array(out_doc),
-                "band": pa.array(out_band),
-                "band_key": pa.array(keys.ravel()),
+                "band_key": pa.array(bkey.ravel()),
+                "gbucket": pa.array(
+                    (bkey.ravel() % np.uint64(num_gbuckets)).astype(np.int32)
+                ),
                 "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(flat, type=pa.uint64()), num_perm
+                    pa.array(flat_sig, type=pa.uint64()), num_perm
                 ),
             }
         )
@@ -288,45 +291,85 @@ def minhash_lsh_pairs(
     max_bucket = 200
 
     def bucket_pairs(df):
+        """One call per coarse gbucket (64 total): vectorized run
+        detection over sorted band_key, per-run pair generation."""
         import pandas as pd
 
-        df = df.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
+        )
         if len(df) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
-            )
+            return empty
+        df = df.sort_values(["band_key", "doc_id"], kind="mergesort")
+        bk = df["band_key"].to_numpy().astype(np.uint64)
         ids = df["doc_id"].to_numpy().astype(np.int64)
         sigm = np.stack(df["sig"].to_numpy())
-        if len(ids) <= max_bucket:  # all pairs, vectorized agreement
-            ia, ib = np.triu_indices(len(ids), k=1)
-            agree = (sigm[ia] == sigm[ib]).mean(axis=1)
-            return pd.DataFrame(
-                {
-                    "doc_a": ids[ia],
-                    "doc_b": ids[ib],
-                    "est_jaccard": agree.astype(np.float64),
-                }
-            )
-        # pathological bucket: star pattern against the min-id doc
-        agree = (sigm[1:] == sigm[0]).mean(axis=1)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b, out_e = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            g_ids = ids[s:e]
+            g_sig = sigm[s:e]
+            if n <= max_bucket:  # all pairs, vectorized agreement
+                ia, ib = np.triu_indices(n, k=1)
+                agree = (g_sig[ia] == g_sig[ib]).mean(axis=1)
+            else:  # pathological bucket: star against the min-id doc
+                ia = np.zeros(n - 1, dtype=np.int64)
+                ib = np.arange(1, n)
+                agree = (g_sig[1:] == g_sig[0]).mean(axis=1)
+            out_a.append(g_ids[ia])
+            out_b.append(g_ids[ib])
+            out_e.append(agree)
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
-                "doc_a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
-                "doc_b": ids[1:],
-                "est_jaccard": agree.astype(np.float64),
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "est_jaccard": np.concatenate(out_e).astype(np.float64),
             }
         )
 
-    pairs = (
-        sigs.map_batches(band_explode, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # same pair can surface from several bands -> collapse, keep max est
+    def combine_pairs(df):
+        """Collapse the same pair surfacing from several bands (keep max
+        estimate), vectorized over a packed pair key."""
+        import pandas as pd
+
+        pair = (
+            df["doc_a"].to_numpy().astype(np.uint64) << np.uint64(32)
+        ) | df["doc_b"].to_numpy().astype(np.uint64)
+        est = df["est_jaccard"].to_numpy()
+        uniq, inv = np.unique(pair, return_inverse=True)
+        best = np.zeros(len(uniq))
+        np.maximum.at(best, inv, est)
+        keep = best >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": (uniq[keep] >> np.uint64(32)).astype(np.int64),
+                "doc_b": (uniq[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "est_jaccard": best[keep],
+            }
+        )
+
+    def add_pbucket(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["doc_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + batch["doc_b"].to_numpy().astype(np.uint64)
+        )
+        return batch.append_column(
+            "pbucket", pa.array((key % np.uint64(64)).astype(np.int32))
+        )
+
     return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
-        .filter(expr=f"est_jaccard >= {threshold}")
+        sigs.map_batches(band_explode, batch_format="pyarrow")
+        .groupby("gbucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(combine_pairs, batch_format="pandas")
     )
 
 

@@ -26,9 +26,27 @@ def uid_of_url(url: str) -> int:
     return int(m.group(1)) if m else -1
 
 
+def make_fetcher(cfg: CrawlConfig):
+    """Task-pool fetch fn: ``ds.map_batches(make_fetcher(cfg), ...)``.
+
+    The synthetic fetch is a pure function of (cfg, url), so plain tasks
+    beat an actor pool: no per-wave actor startup, and the streaming
+    executor scales tasks to whatever blocks exist. A REAL network
+    fetcher holds per-worker state (HTTP session pool, DNS cache) and
+    should use the ``SyntheticFetcher`` actor-pool form below instead."""
+    fetcher = SyntheticFetcher(cfg)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        return fetcher(batch)
+
+    return fetch
+
+
 class SyntheticFetcher:
-    """map_batches(SyntheticFetcher, fn_constructor_args=(cfg,),
-    concurrency=N, batch_format='pyarrow')."""
+    """Actor-pool form: map_batches(SyntheticFetcher,
+    fn_constructor_args=(cfg,), concurrency=(m,n), batch_format='pyarrow')
+    — per-actor state is the analogue of the reference's per-process blob
+    HTTP client (ref shared/azure_clients/blob_client.py:34-55, T3)."""
 
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg

@@ -58,25 +58,33 @@ class CuckooFilter:
     def add_many(self, hashes: np.ndarray) -> np.ndarray:
         """Insert each absent key; returns per-key 'was fresh' mask.
 
-        Callers MUST pass sorted unique hashes (determinism contract)."""
+        Callers MUST pass sorted unique hashes (determinism contract).
+        The per-key insert runs on plain Python ints — numpy scalar
+        extraction per key costs ~10x more than the insert itself."""
         n = len(hashes)
         if n == 0:
             return np.zeros(0, dtype=bool)
         present = self.contains_many(hashes)
         fresh = ~present
         fp, b1, b2 = self._slots(hashes)
-        for i in np.flatnonzero(fresh):
-            self._insert(np.uint16(fp[i]), int(b1[i]), int(b2[i]))
-        self.count += int(fresh.sum())
+        idx = np.flatnonzero(fresh)
+        fp_l = fp[idx].tolist()
+        b1_l = b1[idx].tolist()
+        b2_l = b2[idx].tolist()
+        insert = self._insert
+        for f, x, y in zip(fp_l, b1_l, b2_l):
+            insert(f, x, y)
+        self.count += len(idx)
         return fresh
 
-    def _insert(self, fp: np.uint16, b1: int, b2: int) -> None:
+    def _insert(self, fp: int, b1: int, b2: int) -> None:
+        t = self.table
         for b in (b1, b2):
-            row = self.table[b]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                return
+            row = t[b]
+            for s in range(4):
+                if row[s] == 0:
+                    row[s] = fp
+                    return
         # both buckets full: cuckoo eviction from a deterministic slot
         b = b1
         mask = self.nb - 1
@@ -84,17 +92,17 @@ class CuckooFilter:
         for _ in range(_MAX_KICKS):
             slot = self._kick_counter % 4
             self._kick_counter += 1
-            victim = int(self.table[b, slot])
-            self.table[b, slot] = fp
-            fp = np.uint16(victim)
-            # victim's alternate bucket (python ints avoid uint64 scalar overflow warnings)
+            victim = int(t[b, slot])
+            t[b, slot] = fp
+            fp = victim
+            # victim's alternate bucket (python ints avoid uint64 scalar overflow)
             fph = (((victim * mix) & 0xFFFFFFFFFFFFFFFF) ^ (victim >> 7)) & mask
             b = b ^ fph
-            row = self.table[b]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = fp
-                return
+            row = t[b]
+            for s in range(4):
+                if row[s] == 0:
+                    row[s] = fp
+                    return
         self.evictions += 1  # table effectively full; drop (counted)
 
     # -- checkpoint --

@@ -1,0 +1,260 @@
+"""Benchmark harness.
+
+Default mode: one Ray session (``num_cpus=$RAY_GRAFT_CPUS``, default 32),
+runs the headline crawl pipeline on a deterministic synthetic frontier
+plus the flagship data pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), and prints ONE JSON line:
+
+  {"metric": "urls_fetched+deduped_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: the sandbox evidence protocol for the N-vs-4N-cluster
+criterion (BASELINE.md): run the IDENTICAL crawl job on the IDENTICAL
+input in fresh processes at num_cpus in (2, 8, 32), best-of-2 per
+level, and report throughputs + efficiencies T_4N/(4*T_N) for the
+(2,8) and (8,32) pairs, plus a pure-multiprocessing hardware control
+(how much 4x actually speeds this VM up with zero orchestration).
+
+``--crawl-only --cpus N``: child mode; prints one JSON line with the
+crawl throughput only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+# Headline crawl workload: few LARGE waves (per-wave barriers amortize,
+# matching how a real 10^10-URL crawl would size waves). The politeness
+# clock is virtual, so a wide wave window costs no wall time. Fixed
+# regardless of CPU count; shard counts are fixed in CrawlConfig, so the
+# outputs are bit-identical at every parallelism level.
+CRAWL_KW = dict(
+    universe=2_000_000,
+    n_hosts=1000,
+    max_waves=2,
+    wave_budget=300_000,
+    max_fetches_per_host_per_wave=5000,
+    seeds_per_host=50,
+    wave_duration_ms=3_600_000,
+    emit_index=False,
+)
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def run_crawl_bench(num_cpus: int) -> dict:
+    """Headline: URLs fetched+deduped per second on the synthetic web.
+    A small warmup crawl spawns the worker pool first (cold start is
+    reported separately, as the reference does — README.md:328)."""
+    from azure_blob_crawler_ray.config import CrawlConfig
+    from azure_blob_crawler_ray.pipelines.crawl import run_crawl
+
+    warm_dir = os.path.join(SCRATCH, f"abc_warm_{num_cpus}")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    t0 = time.time()
+    run_crawl(
+        CrawlConfig(
+            out_dir=warm_dir, universe=2000, n_hosts=20, max_waves=1,
+            wave_budget=400, seeds_per_host=2, emit_index=False,
+        )
+    )
+    cold_start_s = round(time.time() - t0, 2)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    out_dir = os.path.join(SCRATCH, f"abc_bench_crawl_{num_cpus}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(out_dir=out_dir, **CRAWL_KW)
+    t0 = time.time()
+    res = run_crawl(cfg)
+    wall = time.time() - t0
+    fetched = sum(m["admitted"] for m in res.metrics)
+    deduped = sum(m.get("fresh_plus_deferred", 0) for m in res.metrics)
+    processed = fetched + deduped
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 2),
+        "cold_start_s": cold_start_s,
+        "fetched": fetched,
+        "deduped_rows": deduped,
+        "urls_per_sec": round(processed / wall, 1),
+        "fetched_per_sec": round(fetched / wall, 1),
+        "waves": len(res.metrics),
+    }
+
+
+def run_pipeline_bench(sf_dir: str) -> dict:
+    """Per-pipeline wall seconds over the sf tables (consumed fully)."""
+    import ray.data
+
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "ingest_chunks",
+        "text_stats",
+        "exact_dedup",
+        "minhash_lsh_dedup",
+        "simhash_dedup",
+        "ngram_jaccard_dedup",
+        "ann_topk",
+        "cosine_near_dup",
+        "text_search",
+        "lineitem_agg",
+        "top_customers",
+        "events_daily",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        out[name] = round(time.time() - t0, 2)
+        out[f"{name}_rows"] = n
+    # full ingest incl. embed+index over the documents table
+    from azure_blob_crawler_ray.pipelines.ingest import ingest
+
+    t0 = time.time()
+    idx = ingest(entrymod._docs_as_blobs(sf_dir), embed_dim=64)
+    out["ingest_full_rows"] = idx.count()
+    out["ingest_full"] = round(time.time() - t0, 2)
+    return out
+
+
+def _mp_work(chunk):
+    from azure_blob_crawler_ray import synth
+    from azure_blob_crawler_ray.config import CrawlConfig
+    from azure_blob_crawler_ray.oracle.ref_extract import extract
+
+    cfg = CrawlConfig(universe=2_000_000, n_hosts=1000)
+    total = 0
+    for uid in chunk:
+        p, _ct = synth.payload_for(int(uid), cfg)
+        total += len(extract(f"p/{uid % 97}/{uid}.txt", p).full_content)
+    return total
+
+
+def _mp_hardware_control() -> dict:
+    """Zero-orchestration control: the same fetch+parse work in a plain
+    multiprocessing pool at each CPU level — the VM's actual max speedup
+    (vCPU overcommit / memory bandwidth cap it below 4x)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    uids = (np.arange(60_000, dtype=np.int64) * 7919) % 2_000_000
+    chunks = np.array_split(uids, 256)
+    out = {}
+    for n in (2, 8, 32):
+        with mp.Pool(n) as pool:
+            t0 = time.time()
+            pool.map(_mp_work, chunks)
+            out[str(n)] = round(len(uids) / (time.time() - t0), 0)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    if args.scaling:
+        results: dict[int, dict] = {}
+        for n in (2, 8, 32):
+            best = None
+            for _ in range(args.reps):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--crawl-only",
+                     "--cpus", str(n)],
+                    capture_output=True, text=True, cwd=REPO, timeout=3000,
+                )
+                lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+                if not lines:
+                    raise RuntimeError(f"child failed at cpus={n}: {p.stderr[-2000:]}")
+                r = json.loads(lines[-1])
+                if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
+                    best = r
+            results[n] = best
+        mp_ctrl = _mp_hardware_control()
+        t2, t8, t32 = (results[n]["urls_per_sec"] for n in (2, 8, 32))
+        report = {
+            "metric": "scaling_efficiency",
+            "pairs": {
+                "2_to_8": {"t_n": t2, "t_4n": t8, "efficiency": round(t8 / (4 * t2), 3)},
+                "8_to_32": {"t_n": t8, "t_4n": t32, "efficiency": round(t32 / (4 * t8), 3)},
+            },
+            "hardware_control_docs_per_sec": mp_ctrl,
+            "hardware_control_efficiency": {
+                "2_to_8": round(mp_ctrl["8"] / (4 * mp_ctrl["2"]), 3),
+                "8_to_32": round(mp_ctrl["32"] / (4 * mp_ctrl["8"]), 3),
+            },
+            "detail": {str(k): v for k, v in results.items()},
+        }
+        print(json.dumps(report))
+        return
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray = _init_ray(num_cpus)
+
+    if args.crawl_only:
+        crawl = run_crawl_bench(num_cpus)
+        print(json.dumps({"metric": "urls_per_sec", "num_cpus": num_cpus, **crawl}))
+        ray.shutdown()
+        return
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    crawl = run_crawl_bench(num_cpus)
+    queries = run_pipeline_bench(sf_dir)
+    total = round(
+        crawl["wall_s"] + sum(v for k, v in queries.items() if not k.endswith("_rows")), 2
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched+deduped_per_sec",
+                "value": crawl["urls_per_sec"],
+                "unit": "sec",
+                "queries": {
+                    "crawl_headline": crawl["wall_s"],
+                    **{k: v for k, v in queries.items() if not k.endswith("_rows")},
+                },
+                "detail": {
+                    "crawl": crawl,
+                    "rows": {k: v for k, v in queries.items() if k.endswith("_rows")},
+                },
+                "total_wall_s": total,
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,22 +29,19 @@ CFG = dict(
 
 
 def _engine_order(out_dir, waves):
-    rows = []
-    for w in waves:
-        t = read_table_arrow(os.path.join(out_dir, "order", f"wave-{w:04d}"))
-        rows += list(
-            zip(t["wave"].to_pylist(), t["fetch_ms"].to_pylist(), t["url"].to_pylist())
-        )
-    return rows
+    from azure_blob_crawler_ray.pipelines.crawl import read_crawl_order
+
+    t = read_crawl_order(out_dir, waves)
+    return list(
+        zip(t["wave"].to_pylist(), t["fetch_ms"].to_pylist(), t["url"].to_pylist())
+    )
 
 
 def _engine_docs(out_dir, waves):
-    docs = {}
-    for w in waves:
-        t = read_table_arrow(os.path.join(out_dir, "documents", f"wave-{w:04d}"))
-        for d in t.to_pylist():
-            docs[(d["url"], d["wave"])] = d["spans"]
-    return docs
+    from azure_blob_crawler_ray.pipelines.crawl import read_documents
+
+    t = read_documents(out_dir, waves)
+    return {(d["url"], d["wave"]): d["spans"] for d in t.to_pylist()}
 
 
 @pytest.fixture(scope="module")
@@ -101,9 +98,7 @@ def test_resume_mid_crawl_identical(tmp_path):
     cfg_b0 = CrawlConfig(out_dir=out_b, **{**CFG, "max_waves": 1})
     run_crawl(cfg_b0, fetch_concurrency=2)
     # drop any partially-written non-checkpoint output of a would-be wave 1
-    for sub in ("documents", "order"):
-        p = os.path.join(out_b, sub, "wave-0001")
-        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(os.path.join(out_b, "documents", "wave-0001"), ignore_errors=True)
     cfg_b = CrawlConfig(out_dir=out_b, **CFG)
     res_b = run_crawl(cfg_b, fetch_concurrency=2)
 

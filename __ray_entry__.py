@@ -179,6 +179,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_parts_by_brand(sf):
         return relational.parts_by_brand(_read(sf, "part", ["p_brand", "p_retailprice"]))
 
+    def q_order_customer_join(sf):
+        return relational.order_customer_join(
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+            min_total=400_000.0,
+        )
+
+    def q_sessionize(sf):
+        return relational.sessionize(
+            _read(sf, "events", ["user_id", "event_id", "ts"]), gap_minutes=30
+        )
+
     # ---- rows-only ops (non-SQL-expressible; driver records row counts) ----
 
     def q_minhash_lsh(sf):
@@ -282,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": q_events_daily,
         "order_priority": q_order_priority,
         "parts_by_brand": q_parts_by_brand,
+        "order_customer_join": q_order_customer_join,
+        "sessionize": q_sessionize,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -447,5 +461,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(p_retailprice), 2) AS min_price,
                    ROUND(MAX(p_retailprice), 2) AS max_price
             FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "order_customer_join": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice >= 400000.0
+            ORDER BY o.o_orderkey
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM e
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   COUNT(*) AS event_count
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
     }

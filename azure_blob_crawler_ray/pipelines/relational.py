@@ -207,3 +207,65 @@ def parts_by_brand(part: ray.data.Dataset) -> ray.data.Dataset:
         .map_batches(finish, batch_format="pyarrow")
         .sort("p_brand")
     )
+
+
+def order_customer_join(
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    *,
+    min_total: float = 400_000.0,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Native distributed hash join (``Dataset.join``) — the shuffle-join
+    path for when neither side fits a broadcast (contrast
+    ``top_customers``' broadcast-dict join). Both sides hash-partition on
+    the key; high-value orders only, so the probe side is pre-filtered
+    at the scan."""
+    joined = orders.filter(expr=f"o_totalprice >= {min_total}").join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+    ).sort("o_orderkey")
+
+
+def sessionize(
+    events: ray.data.Dataset,
+    *,
+    gap_minutes: int = 30,
+) -> ray.data.Dataset:
+    """Gap-based session windows per user (the streaming-window operator
+    the reference lacks, SURVEY.md §2.9): consecutive events of a user
+    belong to one session until the inter-event gap exceeds
+    ``gap_minutes``. Returns (user_id, session_idx, event_count).
+
+    Shape: one groupby(user_id) shuffle; inside each group everything is
+    vectorized numpy (sort by ts, np.diff gap detection, cumsum session
+    ids, np.unique counts). Ties on ts break by event_id — ordering comes
+    from data, never execution timing."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64").to_numpy()
+        new_sess = np.r_[0, (np.diff(ts) > gap_us).astype(np.int64)]
+        sess = np.cumsum(new_sess)
+        uniq, counts = np.unique(sess, return_counts=True)
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(uniq), int(df["user_id"].iloc[0]), dtype=np.int64),
+                "session_idx": uniq.astype(np.int64),
+                "event_count": counts.astype(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(fn, batch_format="pandas")
+        .sort(["user_id", "session_idx"])
+    )

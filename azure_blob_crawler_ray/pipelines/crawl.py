@@ -406,6 +406,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         stats = ray.get([a.stats.remote() for a in seen])
         m["seen_total"] = int(sum(s["count"] for s in stats))
         write_json(m, os.path.join(wdir, "lineage.json"))
+        write_arrow(_lineage_row(m), os.path.join(wdir, "lineage"))
         with open(os.path.join(wdir, "_WAVE_DONE"), "w") as f:
             f.write("ok")
         out.metrics.append(m)
@@ -447,3 +448,43 @@ def read_documents(out_dir: str, waves) -> "pa.Table":
         t = read_table_arrow(os.path.join(out_dir, "documents", f"wave-{w:04d}"))
         tables.append(t.filter(pc.equal(t["skipped"], False)))
     return pa.concat_tables(tables)
+
+
+def _lineage_row(m: dict) -> pa.Table:
+    """One wave's metrics as a LINEAGE-schema row (typed lineage table —
+    the reference's analogue is log lines only, ref
+    document_processor.py:319-324, SURVEY.md §1.3)."""
+    import json as _json
+
+    from ..schemas import LINEAGE
+
+    return pa.table(
+        {
+            "wave": pa.array([m["wave"]], type=pa.int32()),
+            "frontier": pa.array([m.get("frontier", 0)], type=pa.int64()),
+            "robots_blocked": pa.array([m.get("robots_blocked", 0)], type=pa.int64()),
+            "admitted": pa.array([m.get("admitted", 0)], type=pa.int64()),
+            "docs": pa.array([m.get("docs", 0)], type=pa.int64()),
+            "fresh_plus_deferred": pa.array(
+                [m.get("fresh_plus_deferred", 0)], type=pa.int64()
+            ),
+            "seen_total": pa.array([m.get("seen_total", 0)], type=pa.int64()),
+            "wall_s": pa.array([float(m.get("wall_s", 0.0))], type=pa.float64()),
+            "phase_timings": pa.array(
+                [_json.dumps({k: v for k, v in m.items() if k.startswith("t_")})],
+                type=pa.string(),
+            ),
+        },
+        schema=LINEAGE,
+    )
+
+
+def read_lineage(out_dir: str) -> pa.Table:
+    """All committed waves' lineage rows, wave-ordered."""
+    ckpt = os.path.join(out_dir, "ckpt")
+    tables = []
+    for d in sorted(os.listdir(ckpt)):
+        p = os.path.join(ckpt, d, "lineage")
+        if d.startswith("wave-") and os.path.isdir(p):
+            tables.append(read_table_arrow(p))
+    return pa.concat_tables(tables) if tables else _lineage_row({"wave": -1}).slice(0, 0)

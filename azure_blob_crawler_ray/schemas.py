@@ -79,15 +79,13 @@ def index_schema(dim: int) -> pa.Schema:
 LINEAGE = pa.schema(
     [
         pa.field("wave", pa.int32()),
-        pa.field("partition", pa.int32()),
-        pa.field("stage", pa.string()),
-        pa.field("rows", pa.int64()),
-        pa.field("fetched", pa.int64()),
-        pa.field("deduped", pa.int64()),
+        pa.field("frontier", pa.int64()),
         pa.field("robots_blocked", pa.int64()),
-        pa.field("deferred", pa.int64()),
-        pa.field("errors", pa.int64()),
-        pa.field("t0_ms", pa.int64()),
-        pa.field("t1_ms", pa.int64()),
+        pa.field("admitted", pa.int64()),
+        pa.field("docs", pa.int64()),
+        pa.field("fresh_plus_deferred", pa.int64()),
+        pa.field("seen_total", pa.int64()),
+        pa.field("wall_s", pa.float64()),
+        pa.field("phase_timings", pa.string()),  # JSON {phase: seconds}
     ]
 )

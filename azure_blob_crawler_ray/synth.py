@@ -128,14 +128,13 @@ def link_targets_for(uids: np.ndarray, cfg: CrawlConfig) -> List[np.ndarray]:
 
 # ---------------- robots ----------------
 
-def robots_rules(cfg: CrawlConfig) -> Dict[str, dict]:
-    """Per-host robots: crawl_delay_ms + disallowed path prefixes.
+def robots_txt(cfg: CrawlConfig) -> Dict[str, str]:
+    """Per-host robots.txt TEXT — what a fetch of https://{host}/robots.txt
+    would return. Crawl-delay + Disallow prefixes are deterministic
+    functions of (seed, host index)."""
+    from .functions.robots import render_robots_txt
 
-    Stands in for a robots.txt cache; the reference's closest analogue is
-    rate-limit backoff (ref shared/utils/retry.py:150-158) + concurrency
-    caps (ref shared/config/settings.py:88-89).
-    """
-    out: Dict[str, dict] = {}
+    out: Dict[str, str] = {}
     for i in range(cfg.n_hosts):
         h = derive(np.array([i], dtype=np.int64), 11, cfg.seed)[0]
         delay = int(50 + h % _U64(950))
@@ -143,8 +142,24 @@ def robots_rules(cfg: CrawlConfig) -> Dict[str, dict]:
         if i % 5 == 0:  # every 5th host disallows two path buckets
             b1, b2 = int(h % _U64(97)), int((h >> _U64(8)) % _U64(97))
             prefixes = [f"/p/{b1}/", f"/p/{b2}/"]
-        out[host_name(i)] = {"crawl_delay_ms": delay, "disallow": prefixes}
+        out[host_name(i)] = render_robots_txt(
+            {"crawl_delay_ms": delay, "disallow": prefixes}
+        )
     return out
+
+
+def robots_rules(cfg: CrawlConfig) -> Dict[str, dict]:
+    """Parsed per-host robots rules: the engine AND the oracle both go
+    through the real robots.txt text + parser (functions/robots.py), so
+    the politeness gate's semantics are the parser's.
+
+    The reference's closest analogue is rate-limit backoff (ref
+    shared/utils/retry.py:150-158) + concurrency caps (ref
+    shared/config/settings.py:88-89).
+    """
+    from .functions.robots import parse_all
+
+    return parse_all(robots_txt(cfg))
 
 
 def robots_blocks(url_path: str, prefixes: List[str]) -> bool:

@@ -79,3 +79,5 @@ class CrawlConfig:
     out_dir: str = "/tmp/abc_ray_out"
     seeds_per_host: int = 2
     emit_index: bool = True         # run chunk->embed->index stages per wave
+    inject_faults: bool = True      # deterministic transient/permanent fetch failures
+    max_fetch_attempts: int = 3     # then dead-letter (ref retry defaults, settings.py:42)

@@ -50,6 +50,7 @@ class SimResult:
     metrics: List[dict] = field(default_factory=list)      # per-wave counters
     seen_digest: np.ndarray | None = None                  # concat fingerprint sets
     final_frontier: List[str] = field(default_factory=list)
+    dead_letter: List[tuple] = field(default_factory=list)  # (wave, url, status, attempts)
 
 
 def _frontier_from_uids(uids: np.ndarray, cfg: CrawlConfig, depth: int, wave: int):
@@ -60,6 +61,7 @@ def _frontier_from_uids(uids: np.ndarray, cfg: CrawlConfig, depth: int, wave: in
         "depth": np.full(len(urls), depth, dtype=np.int32),
         "priority": np.full(len(urls), 1.0 / (1 + depth), dtype=np.float32),
         "discovered_at": np.full(len(urls), wave, dtype=np.int64),
+        "attempts": np.zeros(len(urls), dtype=np.int32),
     }
 
 
@@ -152,17 +154,42 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 deferred.append(i)
         admitted.sort(key=lambda t: (t[0], int(uh[t[1]])))
 
-        # 6. fetch + parse
+        # 6. fetch + parse (with deterministic fault injection — mirrors
+        #    sources/fetch.py: transient 503 until fail_threshold attempts,
+        #    retry via the next frontier, dead-letter after max attempts)
         wave_links: List[str] = []
         link_depth: Dict[str, int] = {}
+        retries: List[tuple] = []  # (url, host, depth, priority, discovered_at, attempts+1)
         n_docs = 0
+        n_retried = 0
+        n_dead = 0
+        attempts_arr = np.asarray(frontier["attempts"])
         for fetch_ms, i in admitted:
             url = urls[i]
             uid = int(url.rsplit("/", 1)[1].split(".")[0])
+            res.order.append((wave, fetch_ms, url))
+            att = int(attempts_arr[i])
+            k = int(synth.fail_threshold(np.array([uid]), cfg)[0]) if cfg.inject_faults else 0
+            if att < k:  # transient failure
+                if att + 1 < cfg.max_fetch_attempts:
+                    n_retried += 1
+                    retries.append(
+                        (
+                            url,
+                            hosts[i],
+                            int(np.asarray(frontier["depth"])[i]),
+                            float(np.asarray(frontier["priority"])[i]),
+                            int(np.asarray(frontier["discovered_at"])[i]),
+                            att + 1,
+                        )
+                    )
+                else:
+                    n_dead += 1
+                    res.dead_letter.append((wave, url, 503, att))
+                continue
             payload, _ct = synth.payload_for(uid, cfg)
             blob_name = url.replace("https://", "").partition("/")[2]
             ex = extract(blob_name, payload, media_ref=url)
-            res.order.append((wave, fetch_ms, url))
             if not ex.skipped and ex.full_content.strip():
                 n_docs += 1
                 res.documents.append(
@@ -185,13 +212,14 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
         fresh_mask = seen_add(uniq_links) if uniq_links else np.zeros(0, dtype=bool)
         fresh_links = [u for u, f in zip(uniq_links, fresh_mask) if f]
 
-        # 8. next frontier
+        # 8. next frontier = deferred ∪ fresh ∪ retries
         nf = {
             "url": [urls[i] for i in deferred],
             "host": [hosts[i] for i in deferred],
             "depth": list(np.asarray(frontier["depth"])[deferred]),
             "priority": list(np.asarray(frontier["priority"])[deferred]),
             "discovered_at": list(np.asarray(frontier["discovered_at"])[deferred]),
+            "attempts": list(np.asarray(frontier["attempts"])[deferred]),
         }
         for u in fresh_links:
             d = link_depth[u]
@@ -200,6 +228,14 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
             nf["depth"].append(np.int32(d))
             nf["priority"].append(np.float32(1.0 / (1 + d)))
             nf["discovered_at"].append(np.int64(wave + 1))
+            nf["attempts"].append(np.int32(0))
+        for u, h, d, pr, da, att in retries:
+            nf["url"].append(u)
+            nf["host"].append(h)
+            nf["depth"].append(np.int32(d))
+            nf["priority"].append(np.float32(pr))
+            nf["discovered_at"].append(np.int64(da))
+            nf["attempts"].append(np.int32(att))
         res.metrics.append(
             {
                 "wave": wave,
@@ -210,6 +246,8 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 "links": len(wave_links),
                 "fresh": len(fresh_links),
                 "deferred": len(deferred),
+                "retried": n_retried,
+                "dead_lettered": n_dead,
             }
         )
         frontier = {
@@ -218,6 +256,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
             "depth": np.asarray(nf["depth"], dtype=np.int32),
             "priority": np.asarray(nf["priority"], dtype=np.float32),
             "discovered_at": np.asarray(nf["discovered_at"], dtype=np.int64),
+            "attempts": np.asarray(nf["attempts"], dtype=np.int32),
         }
 
     res.seen_digest = np.concatenate(

@@ -188,6 +188,7 @@ def _explode_links(wave: int, num_seen_shards: int):
                 "priority": pa.array((1.0 / (1 + dep.astype(np.float32)))),
                 "discovered_at": pa.array(np.full(len(urls), wave + 1, dtype=np.int64)),
                 "url_hash": pa.array(uh),
+                "attempts": pa.array(np.zeros(len(urls), dtype=np.int32)),
                 "seen_shard": pa.array((uh % np.uint64(num_seen_shards)).astype(np.int32)),
             }
         )
@@ -207,6 +208,7 @@ def _seed_frontier(cfg: CrawlConfig) -> ray.data.Dataset:
             "priority": pa.array(np.ones(len(urls), dtype=np.float32)),
             "discovered_at": pa.array(np.zeros(len(urls), dtype=np.int64)),
             "url_hash": pa.array(uh),
+            "attempts": pa.array(np.zeros(len(urls), dtype=np.int32)),
         }
     )
     return ray.data.from_arrow(t)
@@ -377,6 +379,22 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             index = index_stage(embed_stage(chunks, cfg.embed_dim))
             write_table(index, os.path.join(cfg.out_dir, "index", f"wave-{wave:04d}"))
 
+        # failure taxonomy (SURVEY.md §4.1): transient failures re-enter
+        # the next frontier with attempts+1 until max_fetch_attempts,
+        # then dead-letter; permanent codes dead-letter immediately
+        # (the reference acks BlobNotFound and skips — we additionally
+        # record it, ref servicebus_processor.py:221-231).
+        failed = parsed.filter(expr="status != 200")
+        retries = failed.filter(
+            expr=f"status == 503 and attempts < {cfg.max_fetch_attempts - 1}"
+        ).map_batches(_bump_attempts, batch_format="pyarrow")
+        dead = failed.filter(
+            expr=f"status != 503 or attempts >= {cfg.max_fetch_attempts - 1}"
+        ).select_columns(["url", "host", "depth", "wave", "status", "attempts", "url_hash"])
+        write_table(dead, os.path.join(cfg.out_dir, "dead_letter", f"wave-{wave:04d}"))
+        m["dead_lettered"] = dead.count()
+        m["retried"] = retries.count()
+
         # link discovery -> seen-set anti-join -> fresh frontier rows
         links = parsed.map_batches(
             _explode_links(wave, cfg.num_seen_shards), batch_format="pyarrow"
@@ -386,7 +404,10 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             .map_groups(_probe_router(seen, wave), batch_format="pandas")
             .drop_columns(["seen_shard"])
         )
-        nxt = deferred.union(fresh)
+        retry_rows = retries.select_columns(
+            ["url", "host", "depth", "priority", "discovered_at", "url_hash", "attempts"]
+        )
+        nxt = deferred.union(fresh).union(retry_rows)
         wdir = os.path.join(ckpt, f"wave-{wave:04d}")
         os.makedirs(wdir, exist_ok=True)
         write_table(nxt, os.path.join(wdir, "frontier"))
@@ -488,3 +509,22 @@ def read_lineage(out_dir: str) -> pa.Table:
         if d.startswith("wave-") and os.path.isdir(p):
             tables.append(read_table_arrow(p))
     return pa.concat_tables(tables) if tables else _lineage_row({"wave": -1}).slice(0, 0)
+
+
+def _bump_attempts(batch: pa.Table) -> pa.Table:
+    a = batch["attempts"].to_numpy(zero_copy_only=False).astype(np.int32) + 1
+    i = batch.column_names.index("attempts")
+    return batch.set_column(i, "attempts", pa.array(a))
+
+
+def read_dead_letter(out_dir: str, waves) -> pa.Table:
+    """Dead-lettered fetches of the given waves (empty-safe)."""
+    from ..schemas import DEAD_LETTER
+
+    tables = [
+        read_table_arrow(
+            os.path.join(out_dir, "dead_letter", f"wave-{w:04d}"), schema=DEAD_LETTER
+        ).select(DEAD_LETTER.names)
+        for w in waves
+    ]
+    return pa.concat_tables(tables, promote_options="permissive")

@@ -38,6 +38,19 @@ FRONTIER = pa.schema(
         pa.field("discovered_at", pa.int64()),  # wave index of discovery (virtual time)
         pa.field("wave", pa.int32()),
         pa.field("url_hash", pa.uint64()),
+        pa.field("attempts", pa.int32()),       # failed-fetch retry count (D3)
+    ]
+)
+
+DEAD_LETTER = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("host", pa.string()),
+        pa.field("depth", pa.int32()),
+        pa.field("wave", pa.int32()),
+        pa.field("status", pa.int32()),
+        pa.field("attempts", pa.int32()),
+        pa.field("url_hash", pa.uint64()),
     ]
 )
 

@@ -54,17 +54,29 @@ class SyntheticFetcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         uids = np.array([uid_of_url(u) for u in urls], dtype=np.int64)
+        # fault injection: rows whose attempt count is below the URL's
+        # deterministic failure threshold fail with a transient 503; an
+        # unparsable uid is a permanent 404 (ref BlobNotFoundError,
+        # blob_client.py:94-120 -> ack-and-skip)
+        if "attempts" in batch.column_names and self.cfg.inject_faults:
+            attempts = batch["attempts"].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = synth.fail_threshold(uids, self.cfg)
+            transient_fail = attempts < k
+        else:
+            transient_fail = np.zeros(len(uids), dtype=bool)
         payloads = []
         ctypes = []
-        for uid in uids:
-            if uid < 0:
+        for uid, fail in zip(uids, transient_fail):
+            if uid < 0 or fail:
                 payloads.append(b"")
                 ctypes.append("")
                 continue
             p, ct = synth.payload_for(int(uid), self.cfg)
             payloads.append(p)
             ctypes.append(ct)
-        status = np.where(uids >= 0, 200, 404).astype(np.int32)
+        status = np.where(uids < 0, 404, np.where(transient_fail, 503, 200)).astype(
+            np.int32
+        )
         # blob_name = URL path without leading slash (container≡host):
         # the reference's (container, blob) split, ref servicebus_processor.py:189-192
         blobs = [u.replace("https://", "").partition("/")[2] for u in urls]

@@ -24,12 +24,19 @@ from ..schemas import SPAN_STRUCT
 
 
 def parse_extract(batch: pa.Table) -> pa.Table:
-    """fetched(url, host, depth, wave, fetch_ms, blob_name, payload, ...)
-    -> documents(doc_id, url, host, depth, wave, fetch_ms, ext,
-    full_content, spans, links, skipped)."""
+    """fetched(url, host, depth, wave, fetch_ms, blob_name, payload,
+    status, ...) -> documents(doc_id, url, host, depth, wave, fetch_ms,
+    ext, full_content, spans, links, skipped). Rows whose fetch failed
+    (status != 200) are marked skipped without extraction — the failure
+    taxonomy downstream decides retry vs dead-letter (SURVEY.md §4.1)."""
     blob_names = batch["blob_name"].to_pylist()
     payloads = batch["payload"].to_pylist()
     urls = batch["url"].to_pylist()
+    statuses = (
+        batch["status"].to_pylist()
+        if "status" in batch.column_names
+        else [200] * batch.num_rows
+    )
 
     doc_ids: List[str] = []
     exts: List[str] = []
@@ -37,7 +44,15 @@ def parse_extract(batch: pa.Table) -> pa.Table:
     spans_col: List[list] = []
     links_col: List[list] = []
     skipped: List[bool] = []
-    for bn, payload, url in zip(blob_names, payloads, urls):
+    for bn, payload, url, st in zip(blob_names, payloads, urls, statuses):
+        if st != 200:
+            doc_ids.append(doc_id_of(bn))
+            exts.append(extension_of(bn))
+            fulls.append("")
+            spans_col.append([])
+            links_col.append([])
+            skipped.append(True)
+            continue
         ex = extract(bn, payload or b"", media_ref=url)
         doc_ids.append(doc_id_of(bn))
         exts.append(extension_of(bn))
@@ -47,7 +62,11 @@ def parse_extract(batch: pa.Table) -> pa.Table:
         skipped.append(ex.skipped or not ex.full_content.strip())
 
     keep = [
-        c for c in ("url", "host", "depth", "wave", "fetch_ms", "url_hash", "priority")
+        c
+        for c in (
+            "url", "host", "depth", "wave", "fetch_ms", "url_hash", "priority",
+            "discovered_at", "attempts", "status",
+        )
         if c in batch.column_names
     ]
     out = batch.select(keep)

@@ -38,6 +38,7 @@ def write_table(ds: ray.data.Dataset, uri: str, *, mode: str = "overwrite") -> N
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # an empty dataset writes no files
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("{}")
     if mode == "overwrite" and os.path.exists(uri):
@@ -51,8 +52,9 @@ def read_table(uri: str, *, columns: Optional[list[str]] = None) -> ray.data.Dat
     return ray.data.read_parquet(uri, columns=columns, file_extensions=["parquet"])
 
 
-def read_table_arrow(uri: str) -> pa.Table:
-    """Driver-side read of a SMALL table (checkpoint state, lineage)."""
+def read_table_arrow(uri: str, schema: Optional[pa.Schema] = None) -> pa.Table:
+    """Driver-side read of a SMALL table (checkpoint state, lineage).
+    ``schema`` supplies the result type when the table is empty."""
     if HAS_LANCE:  # pragma: no cover
         import lance
 
@@ -60,6 +62,8 @@ def read_table_arrow(uri: str) -> pa.Table:
     parts = sorted(
         os.path.join(uri, f) for f in os.listdir(uri) if f.endswith(".parquet")
     )
+    if not parts:
+        return pa.table({f.name: [] for f in schema} if schema else {}, schema=schema)
     return pa.concat_tables([pq.read_table(p) for p in parts])
 
 

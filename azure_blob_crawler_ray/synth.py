@@ -230,6 +230,25 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
     return raw.tobytes(), "application/octet-stream"
 
 
+def fail_threshold(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    """Deterministic per-URL failure profile for fetch fault injection:
+    number of leading attempts that fail with a transient 503.
+
+      ~90% of URLs: 0 (first fetch succeeds)
+      ~6%:          1    ~2%: 2         (transient; retry succeeds)
+      ~2%:          255  (permanently failing -> dead-letter after
+                          max_fetch_attempts tries)
+
+    Pure function of (seed, uid) — the oracle sees identical outcomes.
+    """
+    r = (derive(uids, 31, cfg.seed) % _U64(100)).astype(np.int64)
+    k = np.zeros(len(uids), dtype=np.int64)
+    k[(r >= 90) & (r < 96)] = 1
+    k[(r >= 96) & (r < 98)] = 2
+    k[r >= 98] = 255
+    return k
+
+
 def seed_uids(cfg: CrawlConfig) -> np.ndarray:
     """Deterministic seed list: ~seeds_per_host × n_hosts distinct uids."""
     n = cfg.seeds_per_host * cfg.n_hosts

@@ -1,0 +1,63 @@
+"""Storage seam: atomic partitioned writes, completeness markers,
+empty-table round trips — the resumable-output contract."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+from azure_blob_crawler_ray.schemas import DEAD_LETTER
+from azure_blob_crawler_ray.storage import (
+    is_complete,
+    read_table,
+    read_table_arrow,
+    write_arrow,
+    write_table,
+)
+
+
+def test_write_read_roundtrip(tmp_path):
+    uri = str(tmp_path / "t")
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    write_table(ray.data.from_arrow(t), uri)
+    assert is_complete(uri)
+    got = read_table_arrow(uri)
+    assert got.sort_by("a").equals(t)
+    assert read_table(uri).count() == 3
+
+
+def test_overwrite_replaces(tmp_path):
+    uri = str(tmp_path / "t")
+    write_table(ray.data.from_arrow(pa.table({"a": [1, 2]})), uri)
+    write_table(ray.data.from_arrow(pa.table({"a": [9]})), uri)
+    assert read_table_arrow(uri)["a"].to_pylist() == [9]
+
+
+def test_empty_dataset_commits_with_schema(tmp_path):
+    uri = str(tmp_path / "empty")
+    empty = ray.data.from_arrow(
+        pa.table({f.name: [] for f in DEAD_LETTER}, schema=DEAD_LETTER)
+    ).filter(expr="status == -1")
+    write_table(empty, uri)
+    assert is_complete(uri)
+    got = read_table_arrow(uri, schema=DEAD_LETTER)
+    assert got.num_rows == 0
+    assert got.schema.equals(DEAD_LETTER)
+
+
+def test_incomplete_dir_not_marked(tmp_path):
+    uri = str(tmp_path / "part")
+    os.makedirs(uri)
+    assert not is_complete(uri)
+
+
+def test_write_arrow_atomic(tmp_path):
+    uri = str(tmp_path / "small")
+    t = pa.table({"x": [1]})
+    write_arrow(t, uri)
+    assert is_complete(uri)
+    assert read_table_arrow(uri).equals(t)
+    write_arrow(pa.table({"x": [2]}), uri)
+    assert read_table_arrow(uri)["x"].to_pylist() == [2]

@@ -45,6 +45,15 @@ from ..tokenizer import Tokenizer
 # ---------------------------------------------------------------------------
 
 
+def _fan_out(ds: ray.data.Dataset, blocks: int = 64) -> ray.data.Dataset:
+    """Spread a small-file read across blocks: a table read from one
+    parquet file arrives as ~1 block, which serializes every per-row
+    stage downstream. Cheap for the row counts these ops see."""
+    return ds.repartition(blocks)
+
+
+
+
 def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc integer quality counters (SQL-verifiable): word, punct,
     uppercase and char counts. One vectorized map_batches, no shuffle."""
@@ -206,6 +215,8 @@ def minhash_signatures(
     sketch). Shingle extraction is the per-row cost; the k permutations
     are one vectorized (num_shingles × num_perm) min-reduce per doc."""
     a, b = _minhash_params(num_perm)
+
+    docs = _fan_out(docs)
 
     class Sig:
         def __init__(self):
@@ -380,6 +391,7 @@ def minhash_lsh_pairs(
 
 def simhash_signatures(docs: ray.data.Dataset, *, ngram: int = 3) -> ray.data.Dataset:
     """64-bit SimHash (Charikar '02) over hashed character n-grams."""
+    docs = _fan_out(docs)
 
     def fn(batch: pa.Table) -> pa.Table:
         out = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -409,51 +421,102 @@ def simhash_pairs(
     so groupby(block_idx, block_value) finds all candidates; verify
     exact Hamming inside the group."""
     sigs = simhash_signatures(docs, ngram=ngram)
+    num_gbuckets = 64
 
     def block_explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy().astype(np.uint64)
         doc_ids = batch["doc_id"].to_numpy()
         blocks = np.stack(
             [(h >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)], axis=1
-        )
+        ).astype(np.uint64)
+        # fold the block index into the key; coarse gbucket drives the shuffle
+        bkey = blocks | (np.arange(4, dtype=np.uint64)[None, :] << np.uint64(16))
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_ids, 4)),
-                "block": pa.array(np.tile(np.arange(4, dtype=np.int32), len(h))),
-                "block_val": pa.array(blocks.ravel().astype(np.int64)),
+                "bkey": pa.array(bkey.ravel()),
+                "gbucket": pa.array(
+                    ((bkey.ravel() * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_gbuckets)).astype(np.int32)
+                ),
                 "simhash": pa.array(np.repeat(h, 4)),
             }
         )
 
     def verify(df):
+        """One call per coarse gbucket: run detection over sorted bkey,
+        exact Hamming verification per run, local pair dedup (min
+        hamming) on a packed pair key."""
         import pandas as pd
 
-        df = df.sort_values("doc_id", kind="mergesort").drop_duplicates("doc_id")
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
             {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
         )
         if len(df) < 2:
             return empty
+        df = df.sort_values(["bkey", "doc_id"], kind="mergesort").drop_duplicates(
+            ["bkey", "doc_id"]
+        )
+        bk = df["bkey"].to_numpy().astype(np.uint64)
         ids = df["doc_id"].to_numpy().astype(np.int64)
         h = df["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = h[ia] ^ h[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            x = h[s:e][ia] ^ h[s:e][ib]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][ia[keep]])
+            out_b.append(ids[s:e][ib[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        ham = np.concatenate(out_h)
+        pair = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        uniq, inv = np.unique(pair, return_inverse=True)
+        best = np.full(len(uniq), 65, dtype=np.int64)
+        np.minimum.at(best, inv, ham)
         return pd.DataFrame(
-            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": ham[keep]}
+            {
+                "doc_a": (uniq >> np.uint64(32)).astype(np.int64),
+                "doc_b": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "hamming": best,
+                "pbucket": (uniq % np.uint64(num_gbuckets)).astype(np.int64),
+            }
         )
 
-    pairs = (
+    def combine(df):
+        import pandas as pd
+
+        pair = (
+            df["doc_a"].to_numpy().astype(np.uint64) << np.uint64(32)
+        ) | df["doc_b"].to_numpy().astype(np.uint64)
+        uniq, inv = np.unique(pair, return_inverse=True)
+        best = np.full(len(uniq), 65, dtype=np.int64)
+        np.minimum.at(best, inv, df["hamming"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {
+                "doc_a": (uniq >> np.uint64(32)).astype(np.int64),
+                "doc_b": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "hamming": best,
+            }
+        )
+
+    return (
         sigs.map_batches(block_explode, batch_format="pyarrow")
-        .groupby(["block", "block_val"])
+        .groupby("gbucket")
         .map_groups(verify, batch_format="pandas")
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+        .groupby("pbucket")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
@@ -578,7 +641,8 @@ def ngram_jaccard_pairs(
         )
 
     return (
-        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        _fan_out(docs)
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby("pbucket")

@@ -448,9 +448,9 @@ def simhash_pairs(
         hamming) on a packed pair key."""
         import pandas as pd
 
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
-        )
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "hamming": [], "pbucket": []}
+        ).astype("int64")
         if len(df) < 2:
             return empty
         df = df.sort_values(["bkey", "doc_id"], kind="mergesort").drop_duplicates(

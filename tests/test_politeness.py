@@ -1,0 +1,91 @@
+"""Politeness semantics: per-host caps, crawl-delay spacing, robots
+blocking — the invariants the admission machinery must enforce
+(north_rule: per-host politeness priority queue + robots gating)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from azure_blob_crawler_ray import synth
+from azure_blob_crawler_ray.config import CrawlConfig
+from azure_blob_crawler_ray.functions.urlnorm import split_host_path
+from azure_blob_crawler_ray.pipelines.crawl import read_crawl_order, run_crawl
+from azure_blob_crawler_ray.state.admission import schedule_wave
+
+
+@pytest.fixture(scope="module")
+def crawl(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("polite"))
+    cfg = CrawlConfig(
+        universe=2000,
+        n_hosts=12,
+        max_waves=2,
+        wave_budget=300,
+        max_fetches_per_host_per_wave=20,
+        seeds_per_host=4,
+        out_dir=out,
+        emit_index=False,
+    )
+    res = run_crawl(cfg)
+    return cfg, res
+
+
+def test_per_host_cap_enforced(crawl):
+    cfg, res = crawl
+    order = read_crawl_order(cfg.out_dir, res.waves_run)
+    per = defaultdict(int)
+    for w, u in zip(order["wave"].to_pylist(), order["url"].to_pylist()):
+        per[(w, split_host_path(u)[0])] += 1
+    assert max(per.values()) <= cfg.max_fetches_per_host_per_wave
+
+
+def test_crawl_delay_spacing(crawl):
+    """Within a wave, consecutive fetches of one host are spaced by at
+    least the host's Crawl-delay (virtual ms)."""
+    cfg, res = crawl
+    robots = synth.robots_rules(cfg)
+    order = read_crawl_order(cfg.out_dir, res.waves_run)
+    times = defaultdict(list)
+    for w, ms, u in zip(
+        order["wave"].to_pylist(), order["fetch_ms"].to_pylist(), order["url"].to_pylist()
+    ):
+        times[(w, split_host_path(u)[0])].append(ms)
+    checked = 0
+    for (w, host), ts in times.items():
+        delay = robots[host]["crawl_delay_ms"]
+        ts = sorted(ts)
+        for a, b in zip(ts, ts[1:]):
+            assert b - a >= delay, (host, a, b, delay)
+            checked += 1
+    assert checked > 0
+
+
+def test_fetches_stay_in_wave_window(crawl):
+    cfg, res = crawl
+    order = read_crawl_order(cfg.out_dir, res.waves_run)
+    for w, ms in zip(order["wave"].to_pylist(), order["fetch_ms"].to_pylist()):
+        assert w * cfg.wave_duration_ms <= ms < (w + 1) * cfg.wave_duration_ms
+
+
+def test_robots_disallowed_paths_never_fetched(crawl):
+    cfg, res = crawl
+    robots = synth.robots_rules(cfg)
+    order = read_crawl_order(cfg.out_dir, res.waves_run)
+    for u in order["url"].to_pylist():
+        host, path = split_host_path(u)
+        for prefix in robots[host]["disallow"]:
+            assert not path.startswith(prefix), (u, prefix)
+
+
+def test_schedule_wave_respects_next_vtime_across_waves():
+    """State carries over: a host throttled at the end of wave 0 cannot
+    fetch at the start of wave 1 before its delay expires."""
+    nv = {}
+    delays = {"h": 40_000}  # 40s delay, 60s wave
+    s0 = schedule_wave([("h", 5)], nv, delays, 0, 60_000, per_host_cap=10)
+    assert s0["h"] == [0, 40_000]  # only 2 fit the window
+    s1 = schedule_wave([("h", 5)], nv, delays, 60_000, 120_000, per_host_cap=10)
+    assert s1["h"][0] == 80_000  # waits out the tail of wave 0's delay

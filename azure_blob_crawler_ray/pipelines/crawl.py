@@ -311,28 +311,54 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             )
             .groupby("sched_shard")
             .map_groups(_shard_host_cap(cap), batch_format="pandas")
+            .materialize()
         )
-        cand = kept.sort(
-            ["priority", "discovered_at", "url_hash"], descending=[True, False, False]
-        ).limit(cfg.wave_budget)
+
+        # global budget WITHOUT a global sort: pull only the canonical-key
+        # columns of the cap survivors (budget-bounded side), select the
+        # top-budget rows driver-side (np.lexsort, milliseconds), and
+        # broadcast the selected url_hash set as a map-side filter. Exact
+        # same set as sort().limit() — ordering is a pure function of the
+        # key triple. (At extreme scale a distributed selection would
+        # replace the driver pull; the pull is 3 narrow columns.)
+        ksel = kept.select_columns(
+            ["priority", "discovered_at", "url_hash"]
+        ).to_pandas()
+        if len(ksel) > cfg.wave_budget:
+            uh_k = ksel["url_hash"].to_numpy().astype(np.uint64)
+            order_idx = np.lexsort(
+                (
+                    uh_k,
+                    ksel["discovered_at"].to_numpy().astype(np.int64),
+                    -ksel["priority"].to_numpy().astype(np.float64),
+                )
+            )[: cfg.wave_budget]
+            sel_ref = ray.put(np.sort(uh_k[order_idx]))
+
+            def _budget_filter(batch: pa.Table, _ref=sel_ref) -> pa.Table:
+                hs = ray.get(_ref)
+                uh_ = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                return batch.filter(pa.array(np.isin(uh_, hs)))
+
+            cand = kept.map_batches(_budget_filter, batch_format="pyarrow")
+        else:
+            cand = kept
         decisions = (
             cand.groupby("sched_shard")
             .map_groups(_admit_router(sched, wave), batch_format="pandas")
             .materialize()
         )
         _tick("admit")
+        dsel = decisions.select_columns(["url_hash", "admit"]).to_pandas()
+        m["admitted"] = int(dsel["admit"].sum())
         admitted = decisions.filter(expr="admit == True").drop_columns(
             ["admit", "blocked", "sched_shard"]
-        ).materialize()
-        m["admitted"] = admitted.count()
+        )
 
         # deferred = frontier-minus-admitted (broadcast anti-join on hash)
-        adm_hashes = (
-            set(admitted.select_columns(["url_hash"]).to_pandas()["url_hash"].tolist())
-            if m["admitted"]
-            else set()
+        adm_ref = ray.put(
+            np.sort(dsel.loc[dsel["admit"], "url_hash"].to_numpy().astype(np.uint64))
         )
-        adm_ref = ray.put(np.array(sorted(adm_hashes), dtype=np.uint64))
         _tick("admitted_mat")
 
         def _drop_admitted(batch: pa.Table, _ref=adm_ref) -> pa.Table:

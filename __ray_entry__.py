@@ -191,6 +191,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_id", "ts"]), gap_minutes=30
         )
 
+    def q_index_delete(sf):
+        from azure_blob_crawler_ray.pipelines.index_ops import index_delete
+
+        docs = _read(sf, "documents", ["doc_id", "n_chars"])
+        all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
+        victims = all_ids[all_ids % 10 == 0].tolist()
+        return index_delete(docs, victims, id_col="doc_id").sort("doc_id")
+
+    def q_index_upsert(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from azure_blob_crawler_ray.pipelines.index_ops import index_upsert
+
+        docs = _read(sf, "documents", ["doc_id", "text"]).rename_columns(
+            {"text": "content"}
+        )
+
+        def revise(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "content": pc.replace_substring(batch["content"], "data", "DATA"),
+                }
+            )
+
+        new = docs.filter(expr="doc_id < 50").map_batches(
+            revise, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return index_upsert(docs, new, id_col="doc_id").sort("doc_id")
+
     # ---- rows-only ops (non-SQL-expressible; driver records row counts) ----
 
     def q_minhash_lsh(sf):
@@ -296,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": q_parts_by_brand,
         "order_customer_join": q_order_customer_join,
         "sessionize": q_sessionize,
+        "index_delete": q_index_delete,
+        "index_upsert": q_index_upsert,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -467,6 +500,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_totalprice >= 400000.0
             ORDER BY o.o_orderkey
+        """,
+        "index_delete": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 10 != 0 ORDER BY doc_id
+        """,
+        "index_upsert": """
+            SELECT doc_id,
+                   CASE WHEN doc_id < 50 THEN replace(text, 'data', 'DATA')
+                        ELSE text END AS content
+            FROM documents ORDER BY doc_id
         """,
         "sessionize": """
             WITH e AS (

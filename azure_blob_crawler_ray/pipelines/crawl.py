@@ -148,9 +148,8 @@ def _probe_router(actors: List, wave: int):
         df = df.drop_duplicates("url_hash", keep="first")
         h = np.sort(df["url_hash"].to_numpy().astype(np.uint64))
         fresh = ray.get(actors[shard].check_add.remote(h))
-        fresh_set = set(h[fresh].tolist())
-        keep = df["url_hash"].map(lambda x: int(x) in fresh_set)
-        return df[keep.to_numpy()]
+        keep = np.isin(df["url_hash"].to_numpy().astype(np.uint64), h[fresh])
+        return df[keep]
 
     return fn
 

@@ -68,3 +68,24 @@ def doc_id_of(blob_name: str) -> str:
 def canonical_urls_np(urls) -> np.ndarray:
     """Vectorized canonicalization for hot paths (object ndarray in/out)."""
     return np.array([canonical_url(u) for u in urls], dtype=object)
+
+
+def allowed_extension(blob_name: str) -> bool:
+    """Webhook-path extension allowlist (O3) — ref
+    services/indexer_app/app/api/handlers.py:188-192: only the supported
+    text/structured/document extensions pass; everything else is skipped
+    with a response. NOTE the queue path deliberately does NOT apply this
+    filter (unknown extensions become metadata-only docs, O8) — callers
+    choose the behavior, matching the reference's split."""
+    from ..config import (
+        SUPPORTED_DOCUMENT_EXTENSIONS,
+        SUPPORTED_STRUCTURED_EXTENSIONS,
+        SUPPORTED_TEXT_EXTENSIONS,
+    )
+
+    ext = blob_name.lower().split(".")[-1] if "." in blob_name else ""
+    return ext in (
+        SUPPORTED_TEXT_EXTENSIONS
+        + SUPPORTED_STRUCTURED_EXTENSIONS
+        + SUPPORTED_DOCUMENT_EXTENSIONS
+    )

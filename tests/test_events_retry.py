@@ -91,3 +91,18 @@ def test_queue_poison_threshold():
     # ref deploy-infrastructure.ps1:257-259 — max-delivery-count 10
     assert not should_dead_letter(9)
     assert should_dead_letter(10)
+
+
+def test_extension_allowlist_webhook_vs_queue_path():
+    # ref handlers.py:188-192 (webhook filters) vs servicebus_processor.py
+    # (queue path does not) — O3 in SURVEY.md §2.2
+    from azure_blob_crawler_ray.functions.urlnorm import allowed_extension
+    from azure_blob_crawler_ray.oracle.ref_extract import extract
+
+    assert allowed_extension("a/b.txt")
+    assert allowed_extension("x.PDF")
+    assert not allowed_extension("archive.zip")
+    assert not allowed_extension("noext")
+    # queue path still produces a metadata-only doc for the same blob
+    ex = extract("archive.zip", b"\x00\x01")
+    assert ex.full_content.startswith("Binary file: archive.zip")

@@ -125,6 +125,9 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "lineitem_agg",
         "top_customers",
         "events_daily",
+        "order_customer_join",
+        "sessionize",
+        "index_upsert",
     ]
     out = {}
     for name in names:

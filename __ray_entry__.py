@@ -191,6 +191,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_id", "ts"]), gap_minutes=30
         )
 
+    def q_term_frequencies(sf):
+        return dataprep.term_frequencies(
+            _read(sf, "documents", ["doc_id", "text"]), top_k=50
+        )
+
+    def q_length_stats(sf):
+        return dataprep.length_stats_by_lang(
+            _read(sf, "documents", ["lang", "n_chars"])
+        )
+
     def q_index_delete(sf):
         from azure_blob_crawler_ray.pipelines.index_ops import index_delete
 
@@ -329,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "index_delete": q_index_delete,
         "index_upsert": q_index_upsert,
+        "term_frequencies": q_term_frequencies,
+        "length_stats": q_length_stats,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -500,6 +512,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_totalprice >= 400000.0
             ORDER BY o.o_orderkey
+        """,
+        "term_frequencies": """
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS occurrences
+            FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+                  FROM documents)
+            GROUP BY term
+            ORDER BY occurrences DESC, term
+            LIMIT 50
+        """,
+        "length_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "index_delete": """
             SELECT doc_id, n_chars FROM documents

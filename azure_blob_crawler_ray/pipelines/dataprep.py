@@ -648,3 +648,67 @@ def ngram_jaccard_pairs(
         .groupby("pbucket")
         .map_groups(combine_pairs, batch_format="pandas")
     )
+
+
+def term_frequencies(
+    docs: ray.data.Dataset, *, top_k: int = 50
+) -> ray.data.Dataset:
+    """Corpus vocabulary statistics: top-k terms by total occurrence.
+
+    The scale shape is the word-count archetype done right: terms are
+    counted WITHIN each batch first (one np.unique per batch — the
+    map-side combiner), so the groupby shuffle moves one row per
+    (term × batch), not one per token. Ties in the top-k break by term
+    (deterministic)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        # vectorized tokenization: split on whitespace, flatten
+        tokens = _pc.split_pattern_regex(batch["text"], r"\s+")
+        flat = tokens.combine_chunks().flatten() if isinstance(
+            tokens, pa.ChunkedArray
+        ) else tokens.flatten()
+        arr = np.asarray(flat.to_pandas(), dtype=object)
+        arr = arr[arr != ""]
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq.tolist(), type=pa.string()),
+                "occurrences": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("occurrences", alias_name="occurrences"))
+        .sort(["occurrences", "term"], descending=[True, False])
+        .limit(top_k)
+    )
+
+
+def length_stats_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-language length order statistics (min / median / max of
+    n_chars). Median is computed exactly per group — groups are
+    language-sized (small); the groupby is the only shuffle."""
+    import pandas as pd
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "n_docs": [len(v)],
+                "min_chars": [int(v[0])],
+                "median_chars": [float(np.median(v))],
+                "max_chars": [int(v[-1])],
+            }
+        )
+
+    return (
+        docs.select_columns(["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(stats, batch_format="pandas")
+        .sort("lang")
+    )

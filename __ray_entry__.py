@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_id", "ts"]), gap_minutes=30
         )
 
+    def q_top_orders_per_customer(sf):
+        return relational.top_orders_per_customer(
+            _read(sf, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]), k=2
+        )
+
     def q_term_frequencies(sf):
         return dataprep.term_frequencies(
             _read(sf, "documents", ["doc_id", "text"]), top_k=50
@@ -339,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "index_delete": q_index_delete,
         "index_upsert": q_index_upsert,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "term_frequencies": q_term_frequencies,
         "length_stats": q_length_stats,
         "minhash_lsh_dedup": q_minhash_lsh,
@@ -512,6 +518,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_totalprice >= 400000.0
             ORDER BY o.o_orderkey
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders)
+            WHERE rank <= 2
+            ORDER BY o_custkey, rank
         """,
         "term_frequencies": """
             SELECT term, CAST(COUNT(*) AS BIGINT) AS occurrences

@@ -269,3 +269,26 @@ def sessionize(
         .map_groups(fn, batch_format="pandas")
         .sort(["user_id", "session_idx"])
     )
+
+
+def top_orders_per_customer(
+    orders: ray.data.Dataset, *, k: int = 2
+) -> ray.data.Dataset:
+    """Grouped top-k (window-rank shape): each customer's k highest-value
+    orders. One groupby(custkey) shuffle; ranking is vectorized pandas
+    inside the group task. Ties break by orderkey ascending."""
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["o_custkey", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (
+        orders.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["o_custkey", "rank"])
+    )

@@ -206,6 +206,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["lang", "n_chars"])
         )
 
+    def q_stable_split(sf):
+        return dataprep.stable_split(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_stratified_sample(sf):
+        return dataprep.stratified_sample(
+            _read(sf, "documents", ["doc_id", "lang", "text"]), per_stratum=20
+        )
+
+    def q_pack_sequences(sf):
+        return dataprep.pack_sequences(
+            _read(sf, "documents", ["doc_id", "text"]), capacity=500
+        )
+
     def q_index_delete(sf):
         from azure_blob_crawler_ray.pipelines.index_ops import index_delete
 
@@ -345,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_delete": q_index_delete,
         "index_upsert": q_index_upsert,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "stable_split": q_stable_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "term_frequencies": q_term_frequencies,
         "length_stats": q_length_stats,
         "minhash_lsh_dedup": q_minhash_lsh,
@@ -527,6 +543,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)
             WHERE rank <= 2
             ORDER BY o_custkey, rank
+        """,
+        "stable_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, fp FROM (
+                SELECT doc_id, lang, md5(text) AS fp,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY md5(text), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
+            ORDER BY fp, doc_id
+        """,
+        "pack_sequences": """
+            SELECT doc_id, tokens,
+                   CAST(FLOOR((cum - tokens) / 500) AS BIGINT) AS bin
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+                       SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+                           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents)
         """,
         "term_frequencies": """
             SELECT term, CAST(COUNT(*) AS BIGINT) AS occurrences

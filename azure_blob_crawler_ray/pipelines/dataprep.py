@@ -712,3 +712,103 @@ def length_stats_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
         .map_groups(stats, batch_format="pandas")
         .sort("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits / packing (training-data plumbing)
+# ---------------------------------------------------------------------------
+
+
+def stable_split(
+    docs: ray.data.Dataset, *, val_pct: int = 10
+) -> ray.data.Dataset:
+    """Deterministic train/val assignment by content hash: a document
+    lands in 'val' iff its md5 bucket (first 2 hex chars, 0-255) falls
+    below val_pct% of 256. Content-keyed, so the split survives
+    re-sharding, re-ordering and incremental appends — the property
+    row-number splits lack. No shuffle; one vectorized map."""
+    threshold = (val_pct * 256) // 100
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = md5_hex(batch["text"].to_pylist())
+        buckets = np.array([int(f[:2], 16) for f in fps], dtype=np.int64)
+        split = np.where(buckets < threshold, "val", "train")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    docs: ray.data.Dataset, *, per_stratum: int = 20, stratum_col: str = "lang"
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``per_stratum`` documents
+    with the lowest md5(text) per stratum — a content-keyed 'random'
+    order that every engine reproduces. One groupby(stratum) shuffle of
+    (id, stratum, fp) rows only."""
+
+    def fp_fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                stratum_col: batch[stratum_col],
+                "fp": pa.array(md5_hex(batch["text"].to_pylist()), type=pa.string()),
+            }
+        )
+
+    def head_fn(df):
+        return df.sort_values(["fp", "doc_id"], kind="mergesort").head(per_stratum)
+
+    return (
+        docs.map_batches(fp_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(stratum_col)
+        .map_groups(head_fn, batch_format="pandas")
+        .sort(["fp", "doc_id"])
+    )
+
+
+def pack_sequences(
+    docs: ray.data.Dataset, *, capacity: int = 500
+) -> ray.data.Dataset:
+    """Sequence packing for training batches: documents (ordered by
+    doc_id) fill contiguous bins of ~``capacity`` whitespace tokens —
+    bin = floor(preceding cumulative tokens / capacity). The cumulative
+    prefix is what makes this deterministic and SQL-checkable; a true
+    best-fit packer is order-dependent and engine-specific.
+
+    This implementation computes the prefix sum driver-side over the
+    narrow (doc_id, tokens) projection — corpus-row-bounded, fine at
+    test scale. The scale upgrade (same result) is hierarchical: sort by
+    doc_id, per-block token subtotals to the driver (one number per
+    block), broadcast per-block starting offsets, assign bins inside
+    each block."""
+
+    def counted(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tokens": pc.cast(word_count(batch["text"]), pa.int64()),
+            }
+        )
+
+    # deterministic global order by doc_id, then prefix sums
+    ordered = (
+        docs.map_batches(counted, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    toks = ordered["tokens"].to_numpy()
+    cum = np.cumsum(toks)
+    bins = (cum - toks) // capacity
+    out = pa.table(
+        {
+            "doc_id": pa.array(ordered["doc_id"].to_numpy().astype(np.int64)),
+            "tokens": pa.array(toks.astype(np.int64)),
+            "bin": pa.array(bins.astype(np.int64)),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -135,3 +135,35 @@ def test_rolling_fingerprint_properties():
     assert a[0] == a[1]
     assert a[0] != a[2]
     assert rolling_fingerprint([""])[0] == 0
+
+
+def test_stable_split_survives_reordering(docs_ds, docs_pd):
+    import ray.data as rd
+
+    a = dataprep.stable_split(docs_ds).to_pandas().set_index("doc_id")["split"]
+    shuffled = rd.from_pandas(
+        docs_pd[["doc_id", "text"]].sample(frac=1.0, random_state=7).reset_index(drop=True)
+    )
+    b = dataprep.stable_split(shuffled).to_pandas().set_index("doc_id")["split"]
+    assert a.sort_index().equals(b.sort_index())
+    frac = (a == "val").mean()
+    assert 0.03 < frac < 0.2  # ~10% nominal
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(docs_ds):
+    out = dataprep.pack_sequences(docs_ds, capacity=500).to_pandas()
+    assert out["doc_id"].is_monotonic_increasing
+    assert out["bin"].is_monotonic_increasing
+    # each bin's preceding-cumsum start is within capacity of its first doc
+    for b, grp in out.groupby("bin"):
+        # bin content exceeds capacity by at most one document's tokens
+        assert grp["tokens"].sum() <= 500 + grp["tokens"].max()
+
+
+def test_stratified_sample_counts(docs_ds):
+    out = dataprep.stratified_sample(
+        ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]),
+        per_stratum=5,
+    ).to_pandas()
+    counts = out.groupby("lang").size()
+    assert (counts == 5).all()

@@ -9,9 +9,10 @@ shared/config/settings.py:42-52):
 - permanent status codes (400/401/403/404/405/409/422) are NEVER
   retried (ref retry.py:96-114);
 - rate-limit responses (429, or a message matching
-  ``r'retry after (\\d+) seconds?'``) wait the advertised time, clamped
-  to [60, 300] s, and do NOT consume an attempt (ref retry.py:54-89,
-  150-158);
+  ``r'retry after (\\d+) seconds?'``) wait the advertised time,
+  upper-clamped to 300 s (ref retry.py:70,83 ``min(n, max_wait)``), with
+  60 s used only as the DEFAULT when no hint can be parsed; they do NOT
+  consume an attempt (ref retry.py:54-89, 150-158);
 - after the attempts are exhausted the row is dead-lettered — the queue
   analogue is max-delivery-count 10 then the dead-letter queue
   (ref scripts/deploy-infrastructure.ps1:257-259, SURVEY.md §2.7 D3).
@@ -48,11 +49,12 @@ class Decision:
 
 def parse_retry_after(message: str) -> int | None:
     """ref retry.py:54-89 — parse 'retry after N seconds' from an error
-    message; clamp to [60, 300]."""
+    message. Only upper-clamped (ref retry.py:70,83); the 60 s floor is
+    the *no-hint default* applied in :func:`decide`, not a clamp here."""
     m = _RETRY_AFTER_RE.search(message or "")
     if not m:
         return None
-    return max(RATE_LIMIT_MIN_WAIT_S, min(int(m.group(1)), RATE_LIMIT_MAX_WAIT_S))
+    return min(int(m.group(1)), RATE_LIMIT_MAX_WAIT_S)
 
 
 def decide(

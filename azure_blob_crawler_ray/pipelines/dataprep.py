@@ -41,6 +41,28 @@ from ..hashing import hash64
 from ..tokenizer import Tokenizer
 
 # ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack (doc_a, doc_b) id pairs into one uint64 key for vectorized
+    local combines. PRECONDITION: ids in [0, 2^32) — distinct pairs
+    would silently collide otherwise, so this is a hard check, not a
+    documented assumption. Corpora with wider ids should re-key docs
+    (e.g. dense rank of the content hash) before the dedup family."""
+    if len(a) and (
+        min(int(a.min()), int(b.min())) < 0
+        or max(int(a.max()), int(b.max())) >= 1 << 32
+    ):
+        raise ValueError(
+            "doc ids must be in [0, 2**32) for packed-pair dedup keys; "
+            "re-key the corpus (dense rank) before near-dup pair generation"
+        )
+    return (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
@@ -349,9 +371,7 @@ def minhash_lsh_pairs(
         estimate), vectorized over a packed pair key."""
         import pandas as pd
 
-        pair = (
-            df["doc_a"].to_numpy().astype(np.uint64) << np.uint64(32)
-        ) | df["doc_b"].to_numpy().astype(np.uint64)
+        pair = _pack_pairs(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())
         est = df["est_jaccard"].to_numpy()
         uniq, inv = np.unique(pair, return_inverse=True)
         best = np.zeros(len(uniq))
@@ -481,7 +501,7 @@ def simhash_pairs(
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         ham = np.concatenate(out_h)
-        pair = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        pair = _pack_pairs(a, b)
         uniq, inv = np.unique(pair, return_inverse=True)
         best = np.full(len(uniq), 65, dtype=np.int64)
         np.minimum.at(best, inv, ham)
@@ -497,9 +517,7 @@ def simhash_pairs(
     def combine(df):
         import pandas as pd
 
-        pair = (
-            df["doc_a"].to_numpy().astype(np.uint64) << np.uint64(32)
-        ) | df["doc_b"].to_numpy().astype(np.uint64)
+        pair = _pack_pairs(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())
         uniq, inv = np.unique(pair, return_inverse=True)
         best = np.full(len(uniq), 65, dtype=np.int64)
         np.minimum.at(best, inv, df["hamming"].to_numpy().astype(np.int64))
@@ -598,7 +616,7 @@ def ngram_jaccard_pairs(
                 continue
             ia, ib = np.triu_indices(n, k=1)
             a, b = ids[s:e][ia], ids[s:e][ib]
-            out_pair.append((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
+            out_pair.append(_pack_pairs(a, b))
             out_sa.append(sz[s:e][ia])
             out_sb.append(sz[s:e][ib])
         if not out_pair:
@@ -780,12 +798,18 @@ def pack_sequences(
     prefix is what makes this deterministic and SQL-checkable; a true
     best-fit packer is order-dependent and engine-specific.
 
-    This implementation computes the prefix sum driver-side over the
-    narrow (doc_id, tokens) projection — corpus-row-bounded, fine at
-    test scale. The scale upgrade (same result) is hierarchical: sort by
-    doc_id, per-block token subtotals to the driver (one number per
-    block), broadcast per-block starting offsets, assign bins inside
-    each block."""
+    Hierarchical prefix sum — nothing row-scale ever reaches the driver:
+
+      1. project to (doc_id, tokens), sort by doc_id, MATERIALIZE the
+         narrow projection (distributed, fixes the block set so both
+         passes below see identical batches);
+      2. pass 1: one summary row per block (block min doc_id + token
+         subtotal) — driver pulls #blocks rows, computes exclusive
+         prefix offsets keyed by the block's min doc_id;
+      3. pass 2: broadcast the tiny offset map (ray.put, read once per
+         task); each block does a local cumsum + its broadcast offset.
+
+    Assumes doc_id is unique (it is the corpus primary key)."""
 
     def counted(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -795,20 +819,58 @@ def pack_sequences(
             }
         )
 
-    # deterministic global order by doc_id, then prefix sums
+    # deterministic global order by doc_id; materialize the narrow
+    # 2-column projection so pass 1 and pass 2 iterate the SAME blocks
     ordered = (
         docs.map_batches(counted, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
-        .to_pandas()
+        .materialize()
     )
-    toks = ordered["tokens"].to_numpy()
-    cum = np.cumsum(toks)
-    bins = (cum - toks) // capacity
-    out = pa.table(
-        {
-            "doc_id": pa.array(ordered["doc_id"].to_numpy().astype(np.int64)),
-            "tokens": pa.array(toks.astype(np.int64)),
-            "bin": pa.array(bins.astype(np.int64)),
-        }
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_doc": pa.array([], type=pa.int64()),
+                             "subtotal": pa.array([], type=pa.int64())})
+        toks = batch["tokens"].to_numpy()
+        return pa.table(
+            {
+                "min_doc": pa.array([int(batch["doc_id"][0].as_py())], type=pa.int64()),
+                "subtotal": pa.array([int(toks.sum())], type=pa.int64()),
+            }
+        )
+
+    # one row per block -> driver sees #blocks rows, not #docs rows
+    summaries = ordered.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    summaries = summaries.sort_values("min_doc")
+    sub = summaries["subtotal"].to_numpy().astype(np.int64)
+    offsets = dict(
+        zip(
+            summaries["min_doc"].to_numpy().astype(np.int64).tolist(),
+            (np.cumsum(sub) - sub).tolist(),
+        )
     )
-    return ray.data.from_arrow(out)
+    offsets_ref = ray.put(offsets)
+
+    def assign_bins(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "tokens": pa.array([], type=pa.int64()),
+                             "bin": pa.array([], type=pa.int64())})
+        offs = ray.get(offsets_ref)
+        toks = batch["tokens"].to_numpy().astype(np.int64)
+        start = offs[int(batch["doc_id"][0].as_py())]
+        cum = start + np.cumsum(toks)
+        bins = (cum - toks) // capacity
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "tokens": pa.array(toks),
+                "bin": pa.array(bins.astype(np.int64)),
+            }
+        )
+
+    return ordered.map_batches(
+        assign_bins, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

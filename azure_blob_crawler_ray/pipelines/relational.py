@@ -237,58 +237,97 @@ def sessionize(
     events: ray.data.Dataset,
     *,
     gap_minutes: int = 30,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Gap-based session windows per user (the streaming-window operator
     the reference lacks, SURVEY.md §2.9): consecutive events of a user
     belong to one session until the inter-event gap exceeds
     ``gap_minutes``. Returns (user_id, session_idx, event_count).
 
-    Shape: one groupby(user_id) shuffle; inside each group everything is
-    vectorized numpy (sort by ts, np.diff gap detection, cumsum session
-    ids, np.unique counts). Ties on ts break by event_id — ordering comes
-    from data, never execution timing."""
+    Shape: the shuffle groups a COARSE hash bucket of user_id (~64
+    groups), not user_id itself — one Python map_groups call per bucket
+    instead of one per user (millions of users would otherwise pay
+    per-group task overhead). Inside the bucket everything is vectorized
+    numpy over the (user_id, ts, event_id)-sorted frame: user-boundary +
+    gap detection in one pass, cumsum session ids, run-length counts.
+    Ties on ts break by event_id — ordering comes from data, never
+    execution timing."""
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("bucket", pa.array(b))
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy().astype(np.int64)
         ts = df["ts"].astype("int64").to_numpy()
-        new_sess = np.r_[0, (np.diff(ts) > gap_us).astype(np.int64)]
-        sess = np.cumsum(new_sess)
-        uniq, counts = np.unique(sess, return_counts=True)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[False, np.diff(ts) > gap_us]
+        new_sess = new_user | gap
+        sess_global = np.cumsum(new_sess)  # 1-based, unique per session
+        # per-user 0-based session index = global id - global id at user start
+        first_user_row = np.flatnonzero(new_user)
+        run_len = np.diff(np.r_[first_user_row, len(uid)])
+        sess_idx = sess_global - np.repeat(sess_global[first_user_row], run_len)
+        sess_first = np.flatnonzero(new_sess)
+        counts = np.diff(np.r_[sess_first, len(uid)])
         return pd.DataFrame(
             {
-                "user_id": np.full(len(uniq), int(df["user_id"].iloc[0]), dtype=np.int64),
-                "session_idx": uniq.astype(np.int64),
+                "user_id": uid[sess_first],
+                "session_idx": sess_idx[sess_first].astype(np.int64),
                 "event_count": counts.astype(np.int64),
             }
         )
 
     return (
         events.select_columns(["user_id", "event_id", "ts"])
-        .groupby("user_id")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
         .map_groups(fn, batch_format="pandas")
         .sort(["user_id", "session_idx"])
     )
 
 
 def top_orders_per_customer(
-    orders: ray.data.Dataset, *, k: int = 2
+    orders: ray.data.Dataset, *, k: int = 2, num_buckets: int = 64
 ) -> ray.data.Dataset:
     """Grouped top-k (window-rank shape): each customer's k highest-value
-    orders. One groupby(custkey) shuffle; ranking is vectorized pandas
-    inside the group task. Ties break by orderkey ascending."""
+    orders. Shuffles on a COARSE hash bucket of custkey (one map_groups
+    call per bucket, not per customer); inside the bucket the rank is
+    one vectorized pass over the (custkey, -price, orderkey)-sorted
+    frame. Ties break by orderkey ascending."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy().astype(np.uint64)
+        b = ((ck * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("bucket", pa.array(b))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        df = df.copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df[["o_custkey", "rank", "o_orderkey", "o_totalprice"]]
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        ck = df["o_custkey"].to_numpy().astype(np.int64)
+        new = np.r_[True, ck[1:] != ck[:-1]]
+        first = np.flatnonzero(new)
+        run_len = np.diff(np.r_[first, len(ck)])
+        rank = np.arange(len(ck), dtype=np.int64) - np.repeat(first, run_len) + 1
+        keep = rank <= k
+        out = df.iloc[keep, :].copy()
+        out["rank"] = rank[keep]
+        return out[["o_custkey", "rank", "o_orderkey", "o_totalprice"]]
 
     return (
         orders.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
         .map_groups(topk, batch_format="pandas")
         .sort(["o_custkey", "rank"])
     )

@@ -41,9 +41,15 @@ class DeterministicFakeCodec:
         arr = np.frombuffer(payload, dtype=np.uint8)
         if len(arr) == 0:
             return np.zeros(dim, dtype=np.float32)
-        # byte-histogram features folded to dim buckets — deterministic
+        # byte-histogram features folded to dim buckets — deterministic.
+        # Pad to a multiple of the bucket width so dims that don't divide
+        # 256 (e.g. 48) fold cleanly instead of raising on reshape.
         hist = np.bincount(arr, minlength=256).astype(np.float32)
-        folded = hist.reshape(-1, 256 // min(dim, 256)).sum(axis=1)[:dim]
+        width = 256 // min(dim, 256)
+        pad = (-len(hist)) % width
+        if pad:
+            hist = np.concatenate([hist, np.zeros(pad, dtype=np.float32)])
+        folded = hist.reshape(-1, width).sum(axis=1)[:dim]
         out = np.zeros(dim, dtype=np.float32)
         out[: len(folded)] = folded
         n = float(np.linalg.norm(out))

@@ -73,9 +73,13 @@ def test_rate_limit_does_not_consume_attempt():
 def test_retry_after_parse_and_clamp():
     # ref retry.py:54-89, 150-158
     assert parse_retry_after("please retry after 90 seconds") == 90
-    assert parse_retry_after("retry after 5 seconds") == 60  # clamp up
+    # ref retry.py:70,83 only upper-clamps; a short advertised wait is honored
+    assert parse_retry_after("retry after 5 seconds") == 5
     assert parse_retry_after("retry after 900 seconds") == 300  # clamp down
     assert parse_retry_after("no hint") is None
+    # 60 s is the no-hint default (429 with no parseable message)
+    assert decide(429, attempt=1).wait_s == 60
+    assert decide(429, "retry after 5 seconds", attempt=1).wait_s == 5
     d = decide(500, "Server busy, retry after 120 seconds", attempt=2)
     assert d.action is Action.RATE_LIMIT_WAIT and d.wait_s == 120
 

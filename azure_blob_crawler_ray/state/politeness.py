@@ -31,13 +31,29 @@ class PolitenessShard:
         self.wave_duration_ms = wave_duration_ms
         self.per_host_cap = per_host_cap
         self.next_vtime: Dict[str, int] = {}
+        # idempotency replay cache — Ray Data may retry the admitting group
+        # task; re-running admit would advance next_vtime twice for the
+        # wave. One legitimate call per (wave, shard), so a repeated
+        # (wave, digest) is a retry: replay the recorded decision.
+        self._replay: Dict[tuple, dict] = {}
 
     def admit(self, hosts: List[str], wave: int) -> dict:
         """Admit candidates for one wave. ``hosts`` is the per-row host of
         this shard's candidate rows, already in canonical frontier order.
         Returns {'admit': bool array, 'fetch_ms': int64 array} aligned to
         the input rows (fetch_ms = scheduled virtual time; -1 if deferred).
+        Idempotent per (wave, request): retried tasks replay the original
+        schedule instead of double-advancing the virtual clock.
         """
+        import hashlib
+
+        key = (
+            int(wave),
+            hashlib.blake2b("\0".join(hosts).encode(), digest_size=16).digest(),
+        )
+        hit = self._replay.get(key)
+        if hit is not None:
+            return hit
         n = len(hosts)
         wave_start = wave * self.wave_duration_ms
         wave_end = wave_start + self.wave_duration_ms
@@ -63,11 +79,16 @@ class PolitenessShard:
                 admit[i] = True
                 fetch_ms[i] = times[k]
                 taken[h] = k + 1
-        return {"admit": admit, "fetch_ms": fetch_ms}
+        result = {"admit": admit, "fetch_ms": fetch_ms}
+        if len(self._replay) >= 4:  # bounded: only in-flight waves matter
+            self._replay.pop(next(iter(self._replay)))
+        self._replay[key] = result
+        return result
 
     def snapshot(self) -> dict:
         return {"shard": self.shard_id, "next_vtime": dict(self.next_vtime)}
 
     def restore(self, snap: dict) -> bool:
         self.next_vtime = dict(snap["next_vtime"])
+        self._replay.clear()  # a restore starts a new wave epoch
         return True

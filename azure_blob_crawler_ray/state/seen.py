@@ -11,6 +11,8 @@ per-shard ``check_add`` returning the fresh mask.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import ray
 
@@ -22,11 +24,28 @@ class SeenShard:
     def __init__(self, shard_id: int, num_buckets: int):
         self.shard_id = shard_id
         self.filter = CuckooFilter(num_buckets)
+        # idempotency replay cache: Ray Data retries group tasks on worker
+        # failure, and a re-issued check_add would re-probe an already-
+        # mutated filter (everything looks stale -> fresh links dropped).
+        # There is exactly ONE legitimate call per (wave, shard), so a
+        # repeated (wave, digest) is a task retry: replay the recorded
+        # response without touching the filter.
+        self._replay: dict = {}
 
-    def check_add(self, hashes: np.ndarray) -> np.ndarray:
+    def check_add(self, hashes: np.ndarray, wave: int = -1) -> np.ndarray:
         """Probe-and-insert; hashes MUST be sorted unique (caller contract,
-        enforced by the per-wave groupby). Returns the fresh mask."""
-        return self.filter.add_many(hashes)
+        enforced by the per-wave groupby). Returns the fresh mask.
+        Idempotent per (wave, request): retried tasks replay the original
+        response."""
+        key = (int(wave), hashlib.blake2b(hashes.tobytes(), digest_size=16).digest())
+        hit = self._replay.get(key)
+        if hit is not None:
+            return hit
+        fresh = self.filter.add_many(hashes)
+        if len(self._replay) >= 8:  # bounded: only in-flight waves matter
+            self._replay.pop(next(iter(self._replay)))
+        self._replay[key] = fresh
+        return fresh
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         return self.filter.contains_many(hashes)
@@ -36,6 +55,7 @@ class SeenShard:
 
     def restore(self, blob: bytes) -> bool:
         self.filter = CuckooFilter.deserialize(blob)
+        self._replay.clear()  # a restore starts a new wave epoch
         return True
 
     def stats(self) -> dict:

@@ -89,3 +89,39 @@ def test_schedule_wave_respects_next_vtime_across_waves():
     assert s0["h"] == [0, 40_000]  # only 2 fit the window
     s1 = schedule_wave([("h", 5)], nv, delays, 60_000, 120_000, per_host_cap=10)
     assert s1["h"][0] == 80_000  # waits out the tail of wave 0's delay
+
+
+def test_actor_calls_are_idempotent_under_task_retry():
+    """Ray Data retries group tasks on worker loss; a re-issued admit /
+    check_add must replay the original response without re-applying the
+    schedule or re-probing the filter (ADVICE r1, crawl.py:131)."""
+    import numpy as np
+    import ray
+
+    from azure_blob_crawler_ray.state.politeness import PolitenessShard
+    from azure_blob_crawler_ray.state.seen import SeenShard
+
+    robots = {"h0.example.com": {"crawl_delay_ms": 100, "disallow": []}}
+    p = PolitenessShard.remote(0, robots, 1000, 4)
+    hosts = ["h0.example.com"] * 6
+    d1 = ray.get(p.admit.remote(hosts, 0))
+    snap1 = ray.get(p.snapshot.remote())
+    d2 = ray.get(p.admit.remote(hosts, 0))  # simulated task retry
+    snap2 = ray.get(p.snapshot.remote())
+    assert np.array_equal(d1["admit"], d2["admit"])
+    assert np.array_equal(d1["fetch_ms"], d2["fetch_ms"])
+    assert snap1 == snap2, "retried admit advanced the virtual clock"
+
+    s = SeenShard.remote(0, 1 << 12)
+    h = np.sort(np.array([11, 22, 33], dtype=np.uint64))
+    f1 = ray.get(s.check_add.remote(h, 0))
+    c1 = ray.get(s.stats.remote())["count"]
+    f2 = ray.get(s.check_add.remote(h, 0))  # simulated task retry
+    c2 = ray.get(s.stats.remote())["count"]
+    assert np.array_equal(f1, f2), "retry saw an already-mutated filter"
+    assert f1.all() and c1 == c2 == 3
+    # a DIFFERENT wave with the same hashes is a genuine second probe
+    f3 = ray.get(s.check_add.remote(h, 1))
+    assert not f3.any()
+    ray.kill(p)
+    ray.kill(s)

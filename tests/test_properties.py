@@ -85,3 +85,28 @@ def test_jaccard_bounds_and_symmetry(a, b):
     assert 0.0 <= j <= 1.0
     assert j == jaccard(sb, sa)
     assert jaccard(sa, sa) == 1.0
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ).map(lambda s: "https://" + s),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_canonical_arrow_equals_scalar(urls):
+    """The RE2-kernel canonicalizer used on the link-explosion hot path
+    must agree byte-for-byte with the scalar pair on arbitrary URLs."""
+    import pyarrow as pa
+
+    from azure_blob_crawler_ray.functions.urlnorm import (
+        split_canonical_arrow,
+        split_host_path,
+    )
+
+    host_a, canon_a = split_canonical_arrow(pa.array(urls, type=pa.string()))
+    assert host_a.to_pylist() == [split_host_path(u)[0] for u in urls]
+    assert canon_a.to_pylist() == [canonical_url(u) for u in urls]

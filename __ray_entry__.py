@@ -444,9 +444,9 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 100
             )
             SELECT t.doc_id, t.text_rank, c.vec_rank,
-                   t.text_rank + c.vec_rank AS fused
+                   1.0 / (60 + t.text_rank) + 1.0 / (60 + c.vec_rank) AS fused
             FROM tpool t JOIN cpool c ON t.doc_id = c.vec_id
-            ORDER BY fused, t.doc_id
+            ORDER BY fused DESC, t.doc_id
             LIMIT 10
         """,
         "get_all_docs": "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100000",
@@ -593,6 +593,59 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id < 50 THEN replace(text, 'data', 'DATA')
                         ELSE text END AS content
             FROM documents ORDER BY doc_id
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   (LEAST(wc / 50.0, 1.0)
+                    + LEAST(punct / GREATEST(wc / 15.0, 1.0), 1.0)
+                    + LEAST(GREATEST(1.0 - (upper / GREATEST(chars, 1.0)) * 10.0, 0.0), 1.0)
+                   ) / 3.0 AS quality
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS wc,
+                       CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+                       CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper,
+                       CAST(length(text) AS DOUBLE) AS chars
+                FROM documents)
+        """,
+        "ngram_jaccard_dedup": """
+            -- exact 12-char-shingle Jaccard >= 0.5 via the same
+            -- inverted-index formulation the engine distributes:
+            -- postings longer than 200 docs are dropped (prefix filter)
+            WITH norm AS (
+                SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN length(s) < 12 THEN s
+                            ELSE substring(s, i, 12) END AS shingle
+                FROM norm,
+                     LATERAL unnest(range(1, GREATEST(length(s) - 10, 2))) AS t(i)
+                WHERE length(s) > 0
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+            ), kept AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) BETWEEN 2 AND 200
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                JOIN kept k ON k.shingle = a.shingle
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.5
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '\\s*(?:[A-Za-z]+|\\d{1,3}|[^\\w\\s]+|_+)|\\s+')) AS BIGINT)
+                   AS bpe_tokens
+            FROM documents
         """,
         "sessionize": """
             WITH e AS (

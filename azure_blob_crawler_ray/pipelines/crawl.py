@@ -37,7 +37,6 @@ from dataclasses import dataclass, field
 from typing import Dict, List
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -84,23 +83,44 @@ def _tag_frontier(robots: Dict[str, dict], num_sched_shards: int):
     return fn
 
 
-def _sort_canonical_pd(df: pd.DataFrame) -> pd.DataFrame:
+def _sort_canonical_arrow(t: pa.Table) -> pa.Table:
     idx = canonical_order(
-        df["priority"].to_numpy(),
-        df["discovered_at"].to_numpy(),
-        df["url_hash"].to_numpy().astype(np.uint64),
+        t["priority"].to_numpy(zero_copy_only=False),
+        t["discovered_at"].to_numpy(zero_copy_only=False),
+        t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
     )
-    return df.iloc[idx]
+    return t.take(np.asarray(idx))
+
+
+def _head_per_host(t: pa.Table, cap: int) -> pa.Table:
+    """Keep the first ``cap`` rows per host of an (already canonically
+    sorted) table — the groupby(host).head(cap) shape without a pandas
+    round-trip: dictionary-encode hosts, stable-sort positions by code,
+    rank within each run, scatter the ranks back."""
+    host = t["host"]
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    codes = host.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(codes)
+    pos = np.arange(n, dtype=np.int64)
+    ord2 = np.lexsort((pos, codes))
+    sc = codes[ord2]
+    firstpos = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    runlen = np.diff(np.r_[firstpos, n])
+    rank_sorted = pos - np.repeat(firstpos, runlen)
+    rank = np.empty(n, dtype=np.int64)
+    rank[ord2] = rank_sorted
+    return t.filter(pa.array(rank < cap))
 
 
 def _shard_host_cap(cap: int):
     """Per sched-shard EXACT per-host cap: every row of a host lives in
-    exactly one shard group, so canonical-sort + groupby(host).head(cap)
-    inside the group applies the global cap. One Python call per shard
-    (16), vectorized pandas within — not one call per host."""
+    exactly one shard group, so canonical-sort + head(cap)-per-host
+    inside the group applies the global cap. One call per shard (16),
+    vectorized arrow/numpy within — not one call per host."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return _sort_canonical_pd(df).groupby("host", sort=False).head(cap)
+    def fn(t: pa.Table) -> pa.Table:
+        return _head_per_host(_sort_canonical_arrow(t), cap)
 
     return fn
 
@@ -113,43 +133,54 @@ def _local_host_cap(cap: int):
     two-phase variant provided, without the extra all-to-all."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        kept = (
-            _sort_canonical_pd(df).groupby("host", sort=False).head(cap)
-        )
-        return pa.Table.from_pandas(kept, preserve_index=False)
+        return _head_per_host(_sort_canonical_arrow(batch), cap)
 
     return fn
 
 
 def _admit_router(actors: List, wave: int):
-    """map_groups fn: one PolitenessShard.admit call per sched shard."""
+    """map_groups fn (pyarrow): one PolitenessShard.admit call per shard."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = _sort_canonical_pd(df)
-        shard = int(df["sched_shard"].iloc[0])
-        dec = ray.get(actors[shard].admit.remote(df["host"].tolist(), wave))
-        out = df.copy()
-        out["admit"] = dec["admit"]
-        out["fetch_ms"] = dec["fetch_ms"]
-        out["wave"] = np.int32(wave)
-        return out
+    def fn(t: pa.Table) -> pa.Table:
+        t = _sort_canonical_arrow(t)
+        shard = int(t["sched_shard"][0].as_py())
+        dec = ray.get(actors[shard].admit.remote(t["host"].to_pylist(), wave))
+        return (
+            t.append_column("admit", pa.array(dec["admit"]))
+            .append_column("fetch_ms", pa.array(dec["fetch_ms"], type=pa.int64()))
+            .append_column(
+                "wave", pa.array(np.full(t.num_rows, wave, dtype=np.int32))
+            )
+        )
 
     return fn
 
 
 def _probe_router(actors: List, wave: int):
-    """map_groups fn: sorted-unique cuckoo probe, min-depth per hash."""
+    """map_groups fn (pyarrow): sorted-unique cuckoo probe, min-depth per
+    hash. Arrow-native — the url strings never round-trip through pandas
+    object arrays."""
+    import pyarrow.compute as pc
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        shard = int(df["seen_shard"].iloc[0])
-        # min depth per hash; deterministic representative row
-        df = df.sort_values(["url_hash", "depth", "url"], kind="mergesort")
-        df = df.drop_duplicates("url_hash", keep="first")
-        h = np.sort(df["url_hash"].to_numpy().astype(np.uint64))
+    def fn(t: pa.Table) -> pa.Table:
+        shard = int(t["seen_shard"][0].as_py())
+        # deterministic representative per hash: (url_hash, depth, url) min
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("url_hash", "ascending"),
+                ("depth", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        uh = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        first = np.r_[True, uh[1:] != uh[:-1]]
+        t = t.filter(pa.array(first))
+        h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # h is sorted unique by construction; the fresh mask aligns 1:1
         fresh = ray.get(actors[shard].check_add.remote(h, wave))
-        keep = np.isin(df["url_hash"].to_numpy().astype(np.uint64), h[fresh])
-        return df[keep]
+        return t.filter(pa.array(fresh))
 
     return fn
 
@@ -183,18 +214,44 @@ def _explode_links(wave: int, num_seen_shards: int):
             np.minimum.at(mindep, inv, dep_all)
             dep = mindep.astype(np.int32)
             ua = pa.array(uniq.tolist(), type=pa.string())
-            host, canon = split_canonical_arrow(ua)
+            _, canon = split_canonical_arrow(ua)
             uh = hash64(canon)
+        # NARROW shuffle payload: host / priority / discovered_at /
+        # attempts are pure functions of (url, depth, wave) and are
+        # rebuilt AFTER the seen-set anti-join (_rebuild_frontier_cols)
+        # — only the columns the probe needs cross the exchange.
+        return pa.table(
+            {
+                "url": ua,
+                "depth": pa.array(dep),
+                "url_hash": pa.array(uh),
+                "seen_shard": pa.array((uh % np.uint64(num_seen_shards)).astype(np.int32)),
+            }
+        )
+
+    return fn
+
+
+def _rebuild_frontier_cols(wave: int):
+    """Restore the derived frontier columns dropped before the seen-set
+    shuffle, in the canonical frontier column order."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ua = batch["url"]
+        if isinstance(ua, pa.ChunkedArray):
+            ua = ua.combine_chunks()
+        host, _ = split_canonical_arrow(ua)
+        dep = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int32)
+        n = len(dep)
         return pa.table(
             {
                 "url": ua,
                 "host": host,
                 "depth": pa.array(dep),
-                "priority": pa.array((1.0 / (1 + dep.astype(np.float32)))),
-                "discovered_at": pa.array(np.full(len(dep), wave + 1, dtype=np.int64)),
-                "url_hash": pa.array(uh),
-                "attempts": pa.array(np.zeros(len(dep), dtype=np.int32)),
-                "seen_shard": pa.array((uh % np.uint64(num_seen_shards)).astype(np.int32)),
+                "priority": pa.array(1.0 / (1 + dep.astype(np.float32))),
+                "discovered_at": pa.array(np.full(n, wave + 1, dtype=np.int64)),
+                "url_hash": batch["url_hash"],
+                "attempts": pa.array(np.zeros(n, dtype=np.int32)),
             }
         )
 
@@ -319,7 +376,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
                 _local_host_cap(cap), batch_format="pyarrow", zero_copy_batch=True
             )
             .groupby("sched_shard")
-            .map_groups(_shard_host_cap(cap), batch_format="pandas")
+            .map_groups(_shard_host_cap(cap), batch_format="pyarrow")
             .materialize()
         )
 
@@ -369,23 +426,38 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             cand = kept.map_batches(_budget_filter, batch_format="pyarrow")
         else:
             cand = kept
-        decisions = (
+        # admit -> fetch -> parse in ONE streaming execution: the admit
+        # groupby feeds the fetch fan-out directly (safe under task
+        # retries — the politeness actors replay idempotently), and the
+        # admitted-hash set for the deferred anti-join is derived from
+        # the materialized parse output (every admitted row survives
+        # fetch+parse; failures carry a status, they are not dropped).
+        from ..sources.fetch import make_fetcher
+
+        admitted = (
             cand.groupby("sched_shard")
-            .map_groups(_admit_router(sched, wave), batch_format="pandas")
-            .materialize()
+            .map_groups(_admit_router(sched, wave), batch_format="pyarrow")
+            .filter(expr="admit == True")
+            .drop_columns(["admit", "sched_shard"])
         )
-        _tick("admit")
-        dsel = decisions.select_columns(["url_hash", "admit"]).to_pandas()
-        m["admitted"] = int(dsel["admit"].sum())
-        admitted = decisions.filter(expr="admit == True").drop_columns(
-            ["admit", "sched_shard"]
+        fetched = admitted.repartition(compute_blocks).map_batches(
+            make_fetcher(cfg),
+            batch_format="pyarrow",
+            batch_size=256,
         )
+        parsed = parse_stage(fetched).materialize()
+        m["admitted"] = parsed.count()  # metadata count on materialized
+        _tick("admit_fetch_parse")
 
         # deferred = frontier-minus-admitted (broadcast anti-join on hash)
         adm_ref = ray.put(
-            np.sort(dsel.loc[dsel["admit"], "url_hash"].to_numpy().astype(np.uint64))
+            np.sort(
+                parsed.select_columns(["url_hash"])
+                .to_pandas()["url_hash"]
+                .to_numpy()
+                .astype(np.uint64)
+            )
         )
-        _tick("admitted_mat")
 
         def _drop_admitted(batch: pa.Table, _ref=adm_ref) -> pa.Table:
             hs = ray.get(_ref)
@@ -396,19 +468,6 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         deferred = unblocked.drop_columns(["sched_shard"]).map_batches(
             _drop_admitted, batch_format="pyarrow"
         )
-
-        # fetch + parse (payload dropped inside parse). Task-pool fetch
-        # over ~2 blocks/CPU; a real-network fetcher would be an actor
-        # pool (see sources/fetch.py).
-        from ..sources.fetch import make_fetcher
-
-        fetched = admitted.repartition(compute_blocks).map_batches(
-            make_fetcher(cfg),
-            batch_format="pyarrow",
-            batch_size=256,
-        )
-        parsed = parse_stage(fetched).materialize()
-        _tick("fetch_parse")
 
         # one write carries BOTH artifacts: document rows (skipped==False)
         # and the crawl-order columns (every admitted fetch, incl. skipped)
@@ -477,16 +536,25 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             expr=f"status != 503 or attempts >= {cfg.max_fetch_attempts - 1}"
         ).select_columns(["url", "host", "depth", "wave", "status", "attempts", "url_hash"])
         write_table(dead, os.path.join(cfg.out_dir, "dead_letter", f"wave-{wave:04d}"))
+        _tick("dead_write")
 
-        # link discovery -> seen-set anti-join -> fresh frontier rows
+        # link discovery -> seen-set anti-join -> fresh frontier rows.
+        # The groupby consumes the explode output directly (no extra
+        # repartition: the groupby exchange repartitions anyway), and
+        # only the probe's columns travel through it.
         links = parsed.map_batches(
             _explode_links(wave, cfg.num_seen_shards), batch_format="pyarrow"
-        ).repartition(shuffle_width)
+        )
         fresh = (
             links.groupby("seen_shard")
-            .map_groups(_probe_router(seen, wave), batch_format="pandas")
+            .map_groups(_probe_router(seen, wave), batch_format="pyarrow")
             .drop_columns(["seen_shard"])
+            .map_batches(
+                _rebuild_frontier_cols(wave), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
         )
+        _tick("fresh_mat")
         retry_rows = retries.select_columns(
             ["url", "host", "depth", "priority", "discovered_at", "url_hash", "attempts"]
         )

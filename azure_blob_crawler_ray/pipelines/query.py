@@ -3,9 +3,12 @@
 
   Q1 text search   -> vectorized term-frequency scoring + exact top-k
   Q2 vector search -> brute-force cosine top-k (pipelines/similarity.py)
-  Q3 hybrid        -> rank fusion of Q1 and Q2 (integer Borda sum — the
-                      reference delegates fusion to Azure RRF; ranks keep
-                      results exactly comparable across engines)
+  Q3 hybrid        -> rank fusion of Q1 and Q2. Default is RRF
+                      (score = Σ 1/(60+rank)) matching the published
+                      semantics the reference delegates to Azure
+                      (ref shared/azure_clients/search_client.py:239-259);
+                      ``fusion="borda"`` keeps the integer rank-sum
+                      variant
   Q4 get_all_docs  -> select id + deterministic order + cap
   Q5 projection    -> select_columns / drop vector
 
@@ -79,6 +82,9 @@ def vector_search_ranks(
     return brute_force_topk(emb, num_queries=num_queries, k=clamp_top(top))
 
 
+RRF_K = 60  # the published RRF constant (Cormack et al., SIGIR'09)
+
+
 def hybrid_search(
     docs: ray.data.Dataset,
     emb: ray.data.Dataset,
@@ -87,12 +93,16 @@ def hybrid_search(
     *,
     top: int = SEARCH_DEFAULT_TOP,
     pool: int = 100,
+    fusion: str = "rrf",
 ) -> ray.data.Dataset:
     """Q3: join documents (text score) with embeddings (cosine rank to
-    the query vector) on doc_id == vec_id, fuse by Borda rank-sum
-    (integer; rank over a fixed candidate pool of ``pool`` ids), top-k by
-    fused score asc, id asc. Embedding side is broadcast-scored inside
-    map_batches (small-side lookup, no shuffle join)."""
+    the query vector) on doc_id == vec_id, fuse the two rank lists, top-k.
+    ``fusion="rrf"`` (default): fused = 1/(60+text_rank) + 1/(60+vec_rank),
+    descending — the semantics Azure applies server-side in the reference
+    (ref search_client.py:239-259). ``fusion="borda"``: integer rank sum,
+    ascending. Ranks are over a fixed candidate pool of ``pool`` ids;
+    embedding side is broadcast-scored inside map_batches (small-side
+    lookup, no shuffle join)."""
     import ray as _ray
 
     k = clamp_top(top)
@@ -130,13 +140,23 @@ def hybrid_search(
     merged = tf_pool.merge(
         cos_pool, left_on="doc_id", right_on="vec_id", how="inner"
     )[["doc_id", "text_rank", "vec_rank"]]
-    merged["fused"] = merged["text_rank"] + merged["vec_rank"]
-    merged = merged.sort_values(["fused", "doc_id"], kind="mergesort").head(k)
-    return ray.data.from_pandas(
-        merged.reset_index(drop=True).astype(
-            {"doc_id": "int64", "text_rank": "int64", "vec_rank": "int64", "fused": "int64"}
+    if fusion == "rrf":
+        merged["fused"] = 1.0 / (RRF_K + merged["text_rank"].to_numpy()) + 1.0 / (
+            RRF_K + merged["vec_rank"].to_numpy()
         )
-    )
+        merged = merged.sort_values(
+            ["fused", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        types = {"doc_id": "int64", "text_rank": "int64", "vec_rank": "int64",
+                 "fused": "float64"}
+    elif fusion == "borda":
+        merged["fused"] = merged["text_rank"] + merged["vec_rank"]
+        merged = merged.sort_values(["fused", "doc_id"], kind="mergesort").head(k)
+        types = {"doc_id": "int64", "text_rank": "int64", "vec_rank": "int64",
+                 "fused": "int64"}
+    else:
+        raise ValueError(f"unknown fusion {fusion!r} (expected 'rrf' or 'borda')")
+    return ray.data.from_pandas(merged.reset_index(drop=True).astype(types))
 
 
 def get_all_docs(

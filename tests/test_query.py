@@ -63,10 +63,18 @@ def test_filter_select(docs_ds, docs_pd):
 
 def test_hybrid_search_shapes(docs_ds):
     emb = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # default: RRF (score = 1/(60+r_text) + 1/(60+r_vec), descending)
     got = query.hybrid_search(docs_ds, emb, ("data", "join"), query_vec_id=0, top=10).to_pandas()
     assert len(got) <= 10
-    assert (got["fused"] == got["text_rank"] + got["vec_rank"]).all()
-    assert got["fused"].tolist() == sorted(got["fused"].tolist())
+    expect = 1.0 / (60 + got["text_rank"].to_numpy()) + 1.0 / (60 + got["vec_rank"].to_numpy())
+    assert np.allclose(got["fused"].to_numpy(), expect)
+    assert got["fused"].tolist() == sorted(got["fused"].tolist(), reverse=True)
+    # borda variant: integer rank sum, ascending
+    got_b = query.hybrid_search(
+        docs_ds, emb, ("data", "join"), query_vec_id=0, top=10, fusion="borda"
+    ).to_pandas()
+    assert (got_b["fused"] == got_b["text_rank"] + got_b["vec_rank"]).all()
+    assert got_b["fused"].tolist() == sorted(got_b["fused"].tolist())
 
 
 def test_media_feature_stage_plumbing():

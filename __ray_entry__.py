@@ -250,6 +250,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return index_upsert(docs, new, id_col="doc_id").sort("doc_id")
 
+    def q_index_upsert_copart(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from azure_blob_crawler_ray.pipelines.index_ops import index_upsert
+
+        docs = _read(sf, "documents", ["doc_id", "text"]).rename_columns(
+            {"text": "content"}
+        )
+
+        def revise(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "content": pc.replace_substring(batch["content"], "data", "DATA"),
+                }
+            )
+
+        new = docs.filter(expr="doc_id < 50").map_batches(
+            revise, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return index_upsert(docs, new, id_col="doc_id", copartition=True).sort(
+            "doc_id"
+        )
+
     # ---- rows-only ops (non-SQL-expressible; driver records row counts) ----
 
     def q_minhash_lsh(sf):
@@ -357,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "index_delete": q_index_delete,
         "index_upsert": q_index_upsert,
+        "index_upsert_copart": q_index_upsert_copart,
         "top_orders_per_customer": q_top_orders_per_customer,
         "stable_split": q_stable_split,
         "stratified_sample": q_stratified_sample,
@@ -589,6 +615,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 10 != 0 ORDER BY doc_id
         """,
         "index_upsert": """
+            SELECT doc_id,
+                   CASE WHEN doc_id < 50 THEN replace(text, 'data', 'DATA')
+                        ELSE text END AS content
+            FROM documents ORDER BY doc_id
+        """,
+        "index_upsert_copart": """
             SELECT doc_id,
                    CASE WHEN doc_id < 50 THEN replace(text, 'data', 'DATA')
                         ELSE text END AS content

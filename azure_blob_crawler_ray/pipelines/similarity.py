@@ -107,6 +107,34 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic spherical k-means fit on a bounded sample: the
+    ``sample`` lowest vec_ids (a fixed, engine-independent subset) are
+    pulled once — bounded driver memory, the standard train-on-sample /
+    assign-distributed split — then ``iters`` Lloyd iterations with
+    cosine assignment. Init = first k sample vectors; argmax ties break
+    to the lowest centroid index; empty clusters keep their previous
+    centroid. Fully deterministic — no RNG."""
+    sm = emb.sort("vec_id").limit(sample).to_pandas()
+    X = _normalize(np.stack(sm["embedding"].to_numpy()).astype(np.float64))
+    k = min(k, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        C = _normalize(C)
+        assign = np.argmax(X @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k)
+        C = np.where((counts == 0)[:, None], C, sums / np.maximum(counts, 1)[:, None])
+    return _normalize(C)
+
+
 def ivf_topk(
     emb: ray.data.Dataset,
     *,
@@ -118,19 +146,16 @@ def ivf_topk(
 ) -> ray.data.Dataset:
     """IVF (inverted-file) approximate top-k — the scale path: vectors
     are assigned to their nearest centroid; a query only scans the
-    ``nprobe`` nearest centroid buckets. Centroids here are a
-    deterministic sample (lowest vec_ids), standing in for a k-means
-    fit; at 100 TB the assignment is the partitioning key, so the scan
-    prunes (nprobe/num_centroids) of the data.
+    ``nprobe`` nearest centroid buckets. Centroids come from the
+    deterministic sampled k-means fit (``kmeans_centroids``) unless
+    given; at 100 TB the assignment is the partitioning key, so the
+    scan prunes (nprobe/num_centroids) of the data.
 
-    Same output shape as ``brute_force_topk``; recall < 1 by design."""
+    Same output shape as ``brute_force_topk``; recall < 1 by design
+    (bench.py reports measured recall vs the exact baseline)."""
     qids, qm = load_queries(emb, num_queries)
     if centroids is None:
-        cm = _normalize(
-            np.stack(
-                emb.sort("vec_id").limit(num_centroids).to_pandas()["embedding"].to_numpy()
-            ).astype(np.float64)
-        )
+        cm = kmeans_centroids(emb, k=num_centroids)
     else:
         cm = _normalize(centroids.astype(np.float64))
     # each query probes its nprobe nearest centroids

@@ -49,3 +49,22 @@ def test_upsert_idempotent():
     twice = index_upsert(once, new).to_pandas()
     assert len(twice) == 1
     assert twice.iloc[0]["content"] == "y"
+
+
+def test_copartitioned_upsert_equals_broadcast_on_large_new_side():
+    """The no-driver-pull variant must produce exactly the broadcast
+    variant's result when the new side is NOT small (VERDICT r1 #7)."""
+    idx = _idx([(f"k{i}", f"old{i}") for i in range(500)])
+    new = _idx([(f"k{i}", f"new{i}") for i in range(250, 750)])  # half overlap
+    a = index_upsert(idx, new).to_pandas().sort_values("id").reset_index(drop=True)
+    b = (
+        index_upsert(idx, new, copartition=True)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(b) == 750  # k0..k249 kept, k250..k499 replaced, k500..k749 new
+    got = dict(zip(b["id"], b["content"]))
+    assert len(got) == 750
+    assert got["k0"] == "old0" and got["k300"] == "new300" and got["k700"] == "new700"

@@ -1,13 +1,21 @@
 """Oracle extraction: the reference's FileExtractor semantics, exactly.
 
 Reimplements the observable behavior of
-``shared/processing/file_extractor.py`` over the sandbox's synthetic
-payload formats. Real PDF/DOCX parsing libs aren't available, so the
-"pdf" payload is form-feed-separated page texts standing in for
-``PyPDF2 page.extract_text()`` per page (ref file_extractor.py:135-149)
-and the "docx" payload is newline-separated paragraphs standing in for
-``doc.paragraphs`` (ref :176-195); everything downstream of those raw
-texts follows the reference exactly (markers, skips, strips, joins).
+``shared/processing/file_extractor.py``. Two parser paths feed the SAME
+downstream semantics (markers, skips, strips, joins):
+
+* REAL path — when the public ``PyPDF2`` / ``python-docx`` libraries are
+  importable AND the payload carries the real file magic (``%PDF-`` /
+  zip ``PK\\x03\\x04``), pages come from ``PdfReader(...).pages[*]
+  .extract_text()`` (ref file_extractor.py:118-153) and paragraphs from
+  ``Document(...).paragraphs`` (ref :155-204), including the reference's
+  failure behavior (failed page -> skipped, unparsable file ->
+  "PDF/DOCX processing failed");
+* SYNTHETIC path — otherwise the "pdf" payload is form-feed-separated
+  page texts standing in for the per-page extract_text() results and
+  the "docx" payload is newline-separated paragraphs. The sandbox lacks
+  both libraries, so tests exercise the real path only where available
+  (pytest skip markers).
 
 Output is the interleaved span model (BASELINE.json input_hint):
 ``full_content`` (text), plus ``spans`` = list of
@@ -35,6 +43,16 @@ from ..config import (
     TEXT_ENCODING,
     TEXT_ENCODING_ERRORS,
 )
+
+
+try:  # real parsers — public libs, absent in this sandbox
+    import PyPDF2 as _pypdf2
+except ImportError:  # pragma: no cover
+    _pypdf2 = None
+try:
+    import docx as _docx
+except ImportError:  # pragma: no cover
+    _docx = None
 
 
 @dataclass
@@ -130,6 +148,38 @@ def _docx_sections(paragraphs: List[str]) -> Tuple[str, List[str]]:
     return full.strip(), pages
 
 
+def _pdf_pages_real(payload: bytes) -> Tuple[str, List[str]]:
+    """REAL PyPDF2 path (ref file_extractor.py:118-153): per-page
+    extract_text with failed pages skipped (numbering still advances,
+    ref :142-145), unparsable file -> ('PDF processing failed', [])."""
+    import io
+
+    try:
+        reader = _pypdf2.PdfReader(io.BytesIO(payload))
+        raw: List[str] = []
+        for page in reader.pages:
+            try:
+                raw.append(page.extract_text())
+            except Exception:
+                raw.append("")  # skipped page; enumeration advances
+        return _pdf_pages(raw)
+    except Exception:
+        return "PDF processing failed", []
+
+
+def _docx_sections_real(payload: bytes) -> Tuple[str, List[str]]:
+    """REAL python-docx path (ref file_extractor.py:155-204): paragraph
+    texts through the same 20-per-section packing; unparsable file ->
+    ('DOCX processing failed', [])."""
+    import io
+
+    try:
+        doc = _docx.Document(io.BytesIO(payload))
+        return _docx_sections([p.text for p in doc.paragraphs])
+    except Exception:
+        return "DOCX processing failed", []
+
+
 def extract(blob_name: str, payload: bytes, media_ref: str = "") -> Extracted:
     """Full extraction dispatch — ref file_extractor.py:44-106 + size gate
     :68-76 (oversize -> ProcessingSkippedError, treated as skip-not-fail,
@@ -155,11 +205,18 @@ def extract(blob_name: str, payload: bytes, media_ref: str = "") -> Extracted:
             return Extracted(text, [text])
 
     if ext in SUPPORTED_DOCUMENT_EXTENSIONS:
-        decoded = payload.decode(TEXT_ENCODING, errors=TEXT_ENCODING_ERRORS)
         if ext == "pdf":
-            full, pages = _pdf_pages(decoded.split("\f"))
+            if _pypdf2 is not None and payload[:5] == b"%PDF-":
+                full, pages = _pdf_pages_real(payload)
+            else:
+                decoded = payload.decode(TEXT_ENCODING, errors=TEXT_ENCODING_ERRORS)
+                full, pages = _pdf_pages(decoded.split("\f"))
         else:  # docx / doc
-            full, pages = _docx_sections(decoded.split("\n"))
+            if _docx is not None and payload[:4] == b"PK\x03\x04":
+                full, pages = _docx_sections_real(payload)
+            else:
+                decoded = payload.decode(TEXT_ENCODING, errors=TEXT_ENCODING_ERRORS)
+                full, pages = _docx_sections(decoded.split("\n"))
         return Extracted(full, pages)
 
     # unknown extension -> metadata-only doc (ref :103-106), generalized

@@ -64,18 +64,48 @@ class CrawlRunResult:
 def _tag_frontier(robots: Dict[str, dict], num_sched_shards: int):
     """map_batches fn adding the robots 'blocked' column and the
     politeness shard id (hash64(host) % shards — host-consistent, so a
-    groupby(sched_shard) co-locates every row of a host)."""
+    groupby(sched_shard) co-locates every row of a host).
+
+    Vectorized robots gate: most hosts have NO disallow rules, so rows
+    are first masked down to rule-bearing hosts (dictionary-encoded
+    membership test), and only those paths run the startswith checks —
+    via Arrow ``starts_with`` per (host, prefix), not per-URL Python."""
+    import pyarrow.compute as pc
+
+    rule_hosts = {h for h, r in robots.items() if r.get("disallow")}
 
     def fn(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        hosts = batch["host"].to_pylist()
-        blocked = [
-            synth.robots_blocks(split_host_path(u)[1], robots.get(h, {}).get("disallow", []))
-            for u, h in zip(urls, hosts)
-        ]
-        hh = hash64(hosts)
+        host_col = batch["host"]
+        if isinstance(host_col, pa.ChunkedArray):
+            host_col = host_col.combine_chunks()
+        blocked = np.zeros(batch.num_rows, dtype=bool)
+        d = host_col.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        vocab = d.dictionary.to_pylist()
+        hot = [ci for ci, h in enumerate(vocab) if h in rule_hosts]
+        if hot:
+            url_col = batch["url"]
+            if isinstance(url_col, pa.ChunkedArray):
+                url_col = url_col.combine_chunks()
+            # path = url minus scheme minus host (same split as
+            # split_host_path; synthetic hosts never contain '/')
+            trimmed = pc.replace_substring(url_col, pattern="https://", replacement="")
+            trimmed = pc.replace_substring(trimmed, pattern="http://", replacement="")
+            paths = pc.replace_substring_regex(
+                trimmed, pattern="(?s)^[^/]*", replacement=""
+            )
+            for ci in hot:
+                rows = np.flatnonzero(codes == ci)
+                sub = paths.take(pa.array(rows))
+                hit = np.zeros(len(rows), dtype=bool)
+                for p in robots[vocab[ci]]["disallow"]:
+                    hit |= pc.starts_with(sub, pattern=p).to_numpy(
+                        zero_copy_only=False
+                    )
+                blocked[rows] = hit
+        hh = hash64(host_col)
         return batch.append_column(
-            "blocked", pa.array(blocked, type=pa.bool_())
+            "blocked", pa.array(blocked)
         ).append_column(
             "sched_shard", pa.array((hh % np.uint64(num_sched_shards)).astype(np.int32))
         )
@@ -516,12 +546,19 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         _tick("docs_write")
 
         if cfg.emit_index:
+            # actor pools sized to the cluster: the default (1, 8) cap
+            # leaves 3/4 of a 32-CPU node idle through this stage; the
+            # fetch stage is already finished (parsed is materialized),
+            # so the index stages can own the whole machine.
+            pool = (1, max(8, ncpu))
             chunks = chunk_stage(
                 docs.select_columns(["doc_id", "ext", "full_content", "spans"]),
                 cfg.chunk_max_tokens,
+                concurrency=pool,
             )
-            index = index_stage(embed_stage(chunks, cfg.embed_dim))
+            index = index_stage(embed_stage(chunks, cfg.embed_dim, concurrency=pool))
             write_table(index, os.path.join(cfg.out_dir, "index", f"wave-{wave:04d}"))
+            _tick("index_write")
 
         # failure taxonomy (SURVEY.md §4.1): transient failures re-enter
         # the next frontier with attempts+1 until max_fetch_attempts,

@@ -93,11 +93,31 @@ def run_crawl_bench(num_cpus: int) -> dict:
     deduped = sum(m.get("fresh_plus_deferred", 0) for m in res.metrics)
     processed = fetched + deduped
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    # emit_index=True path (chunk -> embed -> index INSIDE the wave loop,
+    # VERDICT r1 #6): smaller universe so the run stays bench-sized; the
+    # per-doc cost of interest is the actor-pool chunk/embed stages.
+    idx_dir = os.path.join(SCRATCH, f"abc_bench_crawl_idx_{num_cpus}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    icfg = CrawlConfig(
+        out_dir=idx_dir, universe=400_000, n_hosts=500, max_waves=2,
+        wave_budget=60_000, max_fetches_per_host_per_wave=2000,
+        seeds_per_host=20, wave_duration_ms=3_600_000, emit_index=True,
+    )
+    t0 = time.time()
+    ires = run_crawl(icfg)
+    idx_wall = time.time() - t0
+    idx_fetched = sum(m["admitted"] for m in ires.metrics)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     return {
         "wall_s": round(wall, 2),
         "cold_start_s": cold_start_s,
         "fetched": fetched,
         "deduped_rows": deduped,
+        "emit_index_wall_s": round(idx_wall, 2),
+        "emit_index_fetched": idx_fetched,
+        "emit_index_docs_per_sec": round(idx_fetched / idx_wall, 1),
         "urls_per_sec": round(processed / wall, 1),
         "fetched_per_sec": round(fetched / wall, 1),
         "waves": len(res.metrics),

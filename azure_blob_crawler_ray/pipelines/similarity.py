@@ -22,6 +22,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count
 
+from .dataprep import _pack_pairs
+
 
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
@@ -261,8 +263,16 @@ def lsh_near_dup_pairs(
     """Scale path for cosine near-dup: random-hyperplane LSH (Charikar
     '02). Each vector gets ``num_tables`` sketch keys; candidates share a
     key in ≥1 table; exact cosine verifies inside the bucket groupby.
-    Only (vec_id, key, embedding) rows shuffle — uniform hash keys."""
+    Only (vec_id, key, embedding) rows shuffle — uniform hash keys.
+
+    Shuffle shape: the groupby key is a COARSE bucket (hash of the
+    sketch key % 64), ONE Python call per bucket with vectorized
+    run-detection over the sorted keys inside — not one map_groups call
+    per distinct sketch key (thousands) — and the cross-table pair
+    combine packs (vec_a, vec_b) into one uint64 + np.unique instead of
+    a multi-key groupby aggregate (the measured minutes-at-scale trap)."""
     planes = None  # built lazily once dim is known
+    num_gbuckets = 64
 
     def sketch(batch: pa.Table) -> pa.Table:
         nonlocal planes
@@ -278,12 +288,18 @@ def lsh_near_dup_pairs(
             keys[:, t] = (block * (1 << np.arange(num_bits, dtype=np.uint64))).sum(axis=1)
             keys[:, t] |= np.uint64(t) << np.uint64(32)
         ids = batch["vec_id"].to_numpy().astype(np.int64)
-        emb_list = [m[i] for i in range(m.shape[0]) for _ in range(num_tables)]
-        flat = np.concatenate(emb_list) if emb_list else np.zeros(0)
+        flat = np.repeat(m, num_tables, axis=0).ravel() if m.size else np.zeros(0)
+        kflat = keys.ravel()
         return pa.table(
             {
                 "vec_id": pa.array(np.repeat(ids, num_tables)),
-                "key": pa.array(keys.ravel()),
+                "key": pa.array(kflat),
+                "gbucket": pa.array(
+                    (
+                        (kflat * np.uint64(0x9E3779B97F4A7C15))
+                        % np.uint64(num_gbuckets)
+                    ).astype(np.int32)
+                ),
                 "vec": pa.FixedSizeListArray.from_arrays(
                     pa.array(flat, type=pa.float64()), m.shape[1] if m.size else 0
                 ),
@@ -291,22 +307,67 @@ def lsh_near_dup_pairs(
         )
 
     def verify(df):
+        """One call per coarse bucket: run detection over sorted sketch
+        keys, exact cosine per run, LOCAL pair dedup on a packed key."""
         import pandas as pd
 
-        df = df.sort_values("vec_id", kind="mergesort").drop_duplicates("vec_id")
-        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        empty = pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "tables": [], "pbucket": []}
+        ).astype("int64")
         if len(df) < 2:
             return empty
+        df = df.sort_values(["key", "vec_id"], kind="mergesort").drop_duplicates(
+            ["key", "vec_id"]
+        )
+        keys = df["key"].to_numpy().astype(np.uint64)
         ids = df["vec_id"].to_numpy().astype(np.int64)
         m = np.stack(df["vec"].to_numpy())
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]]})
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            g = m[s:e]
+            sims = g @ g.T
+            ia, ib = np.triu_indices(n, k=1)
+            keep = sims[ia, ib] >= threshold
+            if keep.any():
+                out.append(_pack_pairs(ids[s:e][ia[keep]], ids[s:e][ib[keep]]))
+        if not out:
+            return empty
+        pair = np.concatenate(out)
+        uniq, counts = np.unique(pair, return_counts=True)
+        return pd.DataFrame(
+            {
+                "vec_a": (uniq >> np.uint64(32)).astype(np.int64),
+                "vec_b": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "tables": counts.astype(np.int64),
+                "pbucket": (uniq % np.uint64(num_gbuckets)).astype(np.int64),
+            }
+        )
 
-    pairs = (
+    def combine(df):
+        """Sum per-gbucket table counts per pair (packed-key np.unique)."""
+        import pandas as pd
+
+        pair = _pack_pairs(df["vec_a"].to_numpy(), df["vec_b"].to_numpy())
+        uniq, inv = np.unique(pair, return_inverse=True)
+        tables = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tables, inv, df["tables"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {
+                "vec_a": (uniq >> np.uint64(32)).astype(np.int64),
+                "vec_b": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "tables": tables,
+            }
+        )
+
+    return (
         emb.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("key")
+        .groupby("gbucket")
         .map_groups(verify, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(combine, batch_format="pandas")
     )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="tables"))

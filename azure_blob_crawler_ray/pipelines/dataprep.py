@@ -684,18 +684,20 @@ def term_frequencies(
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        # vectorized tokenization: split on whitespace, flatten
+        # vectorized tokenization + count: split on whitespace, flatten,
+        # Arrow value_counts — tokens never become Python objects
         tokens = _pc.split_pattern_regex(batch["text"], r"\s+")
         flat = tokens.combine_chunks().flatten() if isinstance(
             tokens, pa.ChunkedArray
         ) else tokens.flatten()
-        arr = np.asarray(flat.to_pandas(), dtype=object)
-        arr = arr[arr != ""]
-        uniq, counts = np.unique(arr, return_counts=True)
+        vc = _pc.value_counts(flat)
+        terms = vc.field("values")
+        counts = vc.field("counts")
+        keep = _pc.not_equal(terms, "")
         return pa.table(
             {
-                "term": pa.array(uniq.tolist(), type=pa.string()),
-                "occurrences": pa.array(counts.astype(np.int64)),
+                "term": terms.filter(keep),
+                "occurrences": pc.cast(counts.filter(keep), pa.int64()),
             }
         )
 

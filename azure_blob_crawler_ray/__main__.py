@@ -8,6 +8,8 @@ Subcommands:
   crawl    run the wave loop (resumes from the out dir's checkpoint)
   ingest   run parse->chunk->embed->index over a parquet blob table
   bench    print the headline crawl throughput line
+  serve    the reference's HTTP surface (/health /ready /process
+           /webhook) over a parquet blob table
 
 Owns a Ray session only when none exists (``ray job submit`` runs the
 driver inside the cluster; local invocation initialises local mode)."""
@@ -60,7 +62,18 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="headline crawl throughput (one JSON line)")
 
+    s = sub.add_parser("serve", help="HTTP surface over a parquet blob table")
+    s.add_argument("--input", required=True,
+                   help="parquet dir/file with blob_name,payload columns")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--embed-dim", type=int, default=64)
+
     args = ap.parse_args(argv)
+    if args.cmd == "serve":
+        # the serving surface is single-blob request/response — no Ray
+        # session needed; blobs come from the parquet table
+        return _serve_cmd(args)
     ray = _ensure_ray()
 
     if args.cmd == "crawl":
@@ -97,6 +110,30 @@ def main(argv=None) -> int:
         from bench import run_crawl_bench  # repo-root bench harness
 
         print(json.dumps(run_crawl_bench(int(ray.cluster_resources().get("CPU", 8)))))
+    return 0
+
+
+def _serve_cmd(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .serving import ApiHandlers, ProcessorCore, serve
+
+    t = pq.read_table(args.input, columns=["blob_name", "payload"])
+    store = dict(zip(t["blob_name"].to_pylist(), t["payload"].to_pylist()))
+
+    def fetch(blob_name: str, container: str) -> bytes:
+        try:
+            return store[blob_name]
+        except KeyError:
+            raise FileNotFoundError(f"BlobNotFound: {container}/{blob_name}")
+
+    handlers = ApiHandlers(ProcessorCore(fetch_fn=fetch, embed_dim=args.embed_dim))
+    server = serve(handlers, host=args.host, port=args.port)
+    print(json.dumps({"listening": f"http://{args.host}:{server.server_address[1]}"}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
     return 0
 
 

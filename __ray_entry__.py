@@ -191,6 +191,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_id", "ts"]), gap_minutes=30
         )
 
+    def q_asof_join(sf):
+        ev = _read(sf, "events", ["event_id", "ts", "user_id", "event_type"])
+        return relational.asof_join(
+            ev.filter(expr="event_type == 'purchase'"),
+            ev.filter(expr="event_type == 'click'"),
+            on="user_id",
+            left_out="purchase_event_id",
+            right_out="click_event_id",
+        )
+
     def q_top_orders_per_customer(sf):
         return relational.top_orders_per_customer(
             _read(sf, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]), k=2
@@ -380,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": q_parts_by_brand,
         "order_customer_join": q_order_customer_join,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "index_delete": q_index_delete,
         "index_upsert": q_index_upsert,
         "index_upsert_copart": q_index_upsert_copart,
@@ -625,6 +636,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id < 50 THEN replace(text, 'data', 'DATA')
                         ELSE text END AS content
             FROM documents ORDER BY doc_id
+        """,
+        "asof_join": """
+            WITH p AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT user_id, purchase_event_id, click_event_id FROM (
+                SELECT p.user_id, p.event_id AS purchase_event_id,
+                       c.event_id AS click_event_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                          ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+            ) WHERE rn = 1
+            ORDER BY user_id, purchase_event_id
         """,
         "quality_score": """
             SELECT doc_id,

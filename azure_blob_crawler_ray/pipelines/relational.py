@@ -331,3 +331,86 @@ def top_orders_per_customer(
         .map_groups(topk, batch_format="pandas")
         .sort(["o_custkey", "rank"])
     )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    left_out: str = "left_id",
+    right_out: str = "right_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """AS-OF join (an operator Ray Data lacks): for each left row, the
+    right row of the same ``on`` key with the greatest ts <= left.ts —
+    ties at equal ts break to the greatest right id. Inner semantics
+    (left rows with no prior right row are dropped). Output:
+    (on, left_id, right_id) integer columns.
+
+    Shape: both sides project to (key, ts, id, side) — nothing wider
+    crosses the exchange — then ONE shuffle on a coarse hash bucket of
+    the key co-locates each key's rows; inside the bucket a single
+    vectorized pass over the (key, ts, side, id)-sorted frame computes
+    a per-key forward-max of right-row positions (right rows sort before
+    left rows at equal ts, making the match inclusive). No per-key
+    Python, no per-row loop; the partitioning assumption is only that
+    one KEY's rows fit a task (same as any keyed window)."""
+
+    def tag(side: int, id_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[on].to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = ((k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            return pa.table(
+                {
+                    on: batch[on],
+                    "ts": pc.cast(batch[ts_col], pa.int64()),
+                    "rid": pc.cast(batch[id_col], pa.int64()),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8)
+                    ),
+                    "bucket": pa.array(b),
+                }
+            )
+
+        return fn
+
+    both = right.map_batches(
+        tag(0, right_id), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        left.map_batches(tag(1, left_id), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([on, "ts", "side", "rid"], kind="mergesort")
+        k = df[on].to_numpy()
+        side = df["side"].to_numpy()
+        rid = df["rid"].to_numpy().astype(np.int64)
+        n = len(df)
+        pos = np.arange(n, dtype=np.int64)
+        seg = np.cumsum(np.r_[True, k[1:] != k[:-1]]).astype(np.int64)
+        # forward-max of right-row positions, segment-guarded: encode
+        # (segment, position) into one ordinal so a previous key's right
+        # row can never satisfy the current key's validity check
+        val = np.where(side == 0, seg * (n + 1) + pos, -1)
+        acc = np.maximum.accumulate(val)
+        valid = (side == 1) & (acc >= 0) & (acc // (n + 1) == seg)
+        rpos = (acc % (n + 1))[valid]
+        return pd.DataFrame(
+            {
+                on: k[valid],
+                left_out: rid[valid],
+                right_out: rid[rpos],
+            }
+        )
+
+    return (
+        both.groupby("bucket")
+        .map_groups(match, batch_format="pandas")
+        .sort([on, left_out])
+    )

@@ -64,7 +64,7 @@ def _init_ray(num_cpus: int):
     return ray
 
 
-def run_crawl_bench(num_cpus: int) -> dict:
+def run_crawl_bench(num_cpus: int, include_emit_index: bool = True) -> dict:
     """Headline: URLs fetched+deduped per second on the synthetic web.
     A small warmup crawl spawns the worker pool first (cold start is
     reported separately, as the reference does — README.md:328)."""
@@ -97,6 +97,18 @@ def run_crawl_bench(num_cpus: int) -> dict:
     # emit_index=True path (chunk -> embed -> index INSIDE the wave loop,
     # VERDICT r1 #6): smaller universe so the run stays bench-sized; the
     # per-doc cost of interest is the actor-pool chunk/embed stages.
+    # Skipped in --scaling children (the scaling metric is the headline
+    # crawl; measuring the index path 6x would double the protocol time).
+    if not include_emit_index:
+        return {
+            "wall_s": round(wall, 2),
+            "cold_start_s": cold_start_s,
+            "fetched": fetched,
+            "deduped_rows": deduped,
+            "urls_per_sec": round(processed / wall, 1),
+            "fetched_per_sec": round(fetched / wall, 1),
+            "waves": len(res.metrics),
+        }
     idx_dir = os.path.join(SCRATCH, f"abc_bench_crawl_idx_{num_cpus}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     icfg = CrawlConfig(
@@ -278,7 +290,7 @@ def main() -> None:
     ray = _init_ray(num_cpus)
 
     if args.crawl_only:
-        crawl = run_crawl_bench(num_cpus)
+        crawl = run_crawl_bench(num_cpus, include_emit_index=False)
         print(json.dumps({"metric": "urls_per_sec", "num_cpus": num_cpus, **crawl}))
         ray.shutdown()
         return

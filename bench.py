@@ -159,6 +159,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "events_daily",
         "order_customer_join",
         "sessionize",
+        "asof_join",
         "index_upsert",
     ]
     out = {}

@@ -45,6 +45,13 @@ from ..tokenizer import Tokenizer
 # ---------------------------------------------------------------------------
 
 
+def _pool_size(lo: int = 1, floor: int = 8) -> tuple:
+    """Actor-pool bounds sized to the cluster at call time: a fixed
+    (1, 8) cap idles 3/4 of a 32-CPU node through a CPU-bound stage."""
+    ncpu = int(ray.cluster_resources().get("CPU", floor)) if ray.is_initialized() else floor
+    return (lo, max(floor, ncpu))
+
+
 def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pack (doc_a, doc_b) id pairs into one uint64 key for vectorized
     local combines. PRECONDITION: ids in [0, 2^32) — distinct pairs
@@ -186,7 +193,7 @@ def token_count_bpe(docs: ray.data.Dataset) -> ray.data.Dataset:
                 }
             )
 
-    return docs.map_batches(Counter, batch_format="pyarrow", concurrency=(1, 4))
+    return docs.map_batches(Counter, batch_format="pyarrow", concurrency=_pool_size())
 
 
 # ---------------------------------------------------------------------------
@@ -247,30 +254,34 @@ def minhash_signatures(
             self.a, self.b = a, b
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            sigs = []
-            sizes = []
-            for text in batch["text"].to_pylist():
-                sh = sorted(char_ngrams(text, ngram))
-                sizes.append(len(sh))
-                if not sh:
-                    sigs.append(np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64))
-                    continue
-                x = hash64(sh)  # (s,)
-                # (s, p) permutation values mod a Mersenne prime, min over s
+            # batched: ONE hash64 call over every doc's shingles, one
+            # (total_shingles × num_perm) permutation pass, per-doc min
+            # via np.minimum.reduceat — no per-doc Python beyond the
+            # shingle-set extraction itself (inherent to the operator)
+            shingle_lists = [
+                list(char_ngrams(text, ngram)) for text in batch["text"].to_pylist()
+            ]
+            sizes = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+            all_sh = [s for lst in shingle_lists for s in lst]
+            n = len(sizes)
+            sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+            nonempty = np.flatnonzero(sizes)
+            if len(all_sh):
+                x = hash64(all_sh)  # (total,)
                 v = (x[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-                sigs.append(v.min(axis=0))
-            flat = np.concatenate(sigs) if sigs else np.zeros(0, dtype=np.uint64)
+                starts = np.cumsum(sizes[nonempty]) - sizes[nonempty]
+                sig[nonempty] = np.minimum.reduceat(v, starts, axis=0)
             return pa.table(
                 {
                     "doc_id": batch["doc_id"],
                     "sig": pa.FixedSizeListArray.from_arrays(
-                        pa.array(flat, type=pa.uint64()), num_perm
+                        pa.array(sig.ravel(), type=pa.uint64()), num_perm
                     ),
-                    "n_shingles": pa.array(sizes, type=pa.int64()),
+                    "n_shingles": pa.array(sizes),
                 }
             )
 
-    return docs.map_batches(Sig, batch_format="pyarrow", concurrency=(1, 8))
+    return docs.map_batches(Sig, batch_format="pyarrow", concurrency=_pool_size())
 
 
 def minhash_lsh_pairs(
@@ -416,18 +427,26 @@ def simhash_signatures(docs: ray.data.Dataset, *, ngram: int = 3) -> ray.data.Da
     docs = _fan_out(docs)
 
     def fn(batch: pa.Table) -> pa.Table:
+        # batched: one hash64 call for the whole batch, one bit-unpack,
+        # per-doc bit votes via np.add.reduceat over segment boundaries
+        shingle_lists = [
+            list(char_ngrams(text, ngram)) for text in batch["text"].to_pylist()
+        ]
+        sizes = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        all_sh = [s for lst in shingle_lists for s in lst]
         out = np.zeros(batch.num_rows, dtype=np.uint64)
-        for i, text in enumerate(batch["text"].to_pylist()):
-            sh = sorted(char_ngrams(text, ngram))
-            if not sh:
-                continue
-            h = hash64(sh)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            vote = (2 * bits - 1).sum(axis=0)
-            out[i] = np.bitwise_or.reduce(
-                (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        nonempty = np.flatnonzero(sizes)
+        if len(all_sh):
+            h = hash64(all_sh)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            starts = np.cumsum(sizes[nonempty]) - sizes[nonempty]
+            ones = np.add.reduceat(bits, starts, axis=0)  # (k, 64)
+            vote = 2 * ones - sizes[nonempty][:, None]  # ones - zeros
+            out[nonempty] = np.bitwise_or.reduce(
+                (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :],
+                axis=1,
             )
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 
@@ -573,22 +592,20 @@ def ngram_jaccard_pairs(
     only by shingles shared with more than ``max_posting`` documents."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids: List[int] = []
-        sh_hashes: List[np.ndarray] = []
-        sizes: List[int] = []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sh = sorted(char_ngrams(text, ngram))
-            h = hash64(sh) if sh else np.zeros(0, dtype=np.uint64)
-            doc_ids.extend([did] * len(h))
-            sh_hashes.append(h)
-            sizes.extend([len(h)] * len(h))
-        flat = np.concatenate(sh_hashes) if sh_hashes else np.zeros(0, dtype=np.uint64)
+        # one hash64 call per batch; doc_id/set_size columns by np.repeat
+        shingle_lists = [
+            list(char_ngrams(text, ngram)) for text in batch["text"].to_pylist()
+        ]
+        sizes = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        all_sh = [s for lst in shingle_lists for s in lst]
+        flat = hash64(all_sh) if all_sh else np.zeros(0, dtype=np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array((flat % np.uint64(num_buckets)).astype(np.int32)),
                 "shingle": pa.array(flat),
-                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
-                "set_size": pa.array(np.asarray(sizes, dtype=np.int64)),
+                "doc_id": pa.array(np.repeat(ids, sizes)),
+                "set_size": pa.array(np.repeat(sizes, sizes)),
             }
         )
 

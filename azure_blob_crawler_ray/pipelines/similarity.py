@@ -223,11 +223,22 @@ def cosine_near_dup_pairs(
     emb: ray.data.Dataset,
     *,
     threshold: float = 0.5,
+    max_broadcast_rows: int = 200_000,
 ) -> ray.data.Dataset:
     """All pairs (a < b) with cosine ≥ threshold — exact all-pairs via
     block × broadcast matmul. The full normalized matrix is broadcast
-    once (exact baseline; the LSH-bucketed variant below scales past
-    broadcastable sizes). Output (vec_a, vec_b) integer pairs."""
+    once: this is the EXACT BASELINE, valid only while the matrix is
+    broadcastable; inputs beyond ``max_broadcast_rows`` raise with a
+    pointer to :func:`lsh_near_dup_pairs` (the bucketed scale path)
+    instead of silently materializing an unbounded table on the driver.
+    Output (vec_a, vec_b) integer pairs."""
+    n_rows = emb.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs broadcasts the full matrix ({n_rows} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}); use lsh_near_dup_pairs "
+            "for corpora past broadcastable size"
+        )
     all_df = emb.select_columns(["vec_id", "embedding"]).to_pandas()
     ids_all = all_df["vec_id"].to_numpy().astype(np.int64)
     m_all = _normalize(np.stack(all_df["embedding"].to_numpy()).astype(np.float64))

@@ -45,3 +45,33 @@ def test_asof_join_semantics():
         .to_dict()
     )
     assert got == {100: 12, 101: 11}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_join_matches_bruteforce(left_rows, right_rows):
+    left = _ds([(u, t * 1000, 1000 + i) for i, (u, t) in enumerate(left_rows)])
+    right = _ds([(u, t * 1000, 2000 + i) for i, (u, t) in enumerate(right_rows)])
+    df = asof_join(left, right, on="user_id").to_pandas()
+    got = {} if df.empty else df.set_index("left_id")["right_id"].to_dict()
+    expect = {}
+    for i, (u, t) in enumerate(left_rows):
+        cands = [
+            (rt, 2000 + j)
+            for j, (ru, rt) in enumerate(right_rows)
+            if ru == u and rt <= t
+        ]
+        if cands:
+            expect[1000 + i] = max(cands)[1]  # greatest ts, then greatest id
+    assert got == expect

@@ -27,12 +27,22 @@ def parse_stage(blobs: ray.data.Dataset) -> ray.data.Dataset:
     return blobs.map_batches(parse_extract, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pool_size(lo: int = 1, floor: int = 8) -> tuple:
+    """Actor-pool bounds sized to the cluster at call time — a fixed
+    (1, 8) cap idles most of a 32-CPU node through a CPU-bound stage."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", floor)) if ray.is_initialized() else floor
+    return (lo, max(floor, ncpu))
+
+
 def chunk_stage(
     docs: ray.data.Dataset,
     max_tokens: int = CHUNK_MAX_TOKENS,
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
     batch_size: int = 256,
 ) -> ray.data.Dataset:
+    concurrency = concurrency or _pool_size()
     return docs.map_batches(
         ChunkStage,
         fn_constructor_args=(max_tokens,),
@@ -45,9 +55,10 @@ def chunk_stage(
 def embed_stage(
     chunks: ray.data.Dataset,
     dim: int,
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
     batch_size: int = 512,
 ) -> ray.data.Dataset:
+    concurrency = concurrency or _pool_size()
     return chunks.map_batches(
         EmbedStage,
         fn_constructor_args=(dim,),
@@ -66,7 +77,7 @@ def ingest(
     *,
     embed_dim: int = 64,
     max_tokens: int = CHUNK_MAX_TOKENS,
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
 ) -> ray.data.Dataset:
     """blobs -> index rows (id, content, vector); fully lazy/streaming."""
     docs = parse_stage(blobs)

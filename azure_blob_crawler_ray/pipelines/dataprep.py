@@ -458,28 +458,46 @@ def simhash_pairs(
 ) -> ray.data.Dataset:
     """Near-dup pairs with Hamming distance ≤ max_hamming. Block-permuted
     candidate generation (Manku et al., WWW'07): split the 64-bit hash
-    into 4 16-bit blocks; any pair within distance 3 agrees on ≥1 block,
-    so groupby(block_idx, block_value) finds all candidates; verify
-    exact Hamming inside the group."""
+    into ``max_hamming + 1`` blocks (pigeonhole: any pair within distance
+    d agrees exactly on ≥1 of d+1 blocks), so groupby(block_idx,
+    block_value) finds all candidates; verify exact Hamming inside the
+    group. Block widths are ⌈64/(d+1)⌉-balanced, so the completeness
+    guarantee holds for ANY max_hamming < 64, not just the classic 4×16
+    split for d=3."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
     sigs = simhash_signatures(docs, ngram=ngram)
     num_gbuckets = 64
+    nblocks = max_hamming + 1
+    bounds = np.linspace(0, 64, nblocks + 1).astype(np.uint64)  # block bit ranges
 
     def block_explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy().astype(np.uint64)
         doc_ids = batch["doc_id"].to_numpy()
-        blocks = np.stack(
-            [(h >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)], axis=1
-        ).astype(np.uint64)
-        # fold the block index into the key; coarse gbucket drives the shuffle
-        bkey = blocks | (np.arange(4, dtype=np.uint64)[None, :] << np.uint64(16))
+        cols = []
+        for b in range(nblocks):
+            lo, hi = bounds[b], bounds[b + 1]
+            width = hi - lo
+            mask = (np.uint64(1) << width) - np.uint64(1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+            cols.append((h >> lo) & mask)
+        blocks = np.stack(cols, axis=1).astype(np.uint64)
+        # fold the block index into the key (block widths are ≤ 32 bits
+        # whenever nblocks ≥ 2, so bit 56 is free; a single block needs
+        # no index); coarse gbucket drives the shuffle
+        if nblocks > 1:
+            bkey = blocks | (
+                np.arange(nblocks, dtype=np.uint64)[None, :] << np.uint64(56)
+            )
+        else:
+            bkey = blocks
         return pa.table(
             {
-                "doc_id": pa.array(np.repeat(doc_ids, 4)),
+                "doc_id": pa.array(np.repeat(doc_ids, nblocks)),
                 "bkey": pa.array(bkey.ravel()),
                 "gbucket": pa.array(
                     ((bkey.ravel() * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_gbuckets)).astype(np.int32)
                 ),
-                "simhash": pa.array(np.repeat(h, 4)),
+                "simhash": pa.array(np.repeat(h, nblocks)),
             }
         )
 

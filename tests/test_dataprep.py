@@ -167,3 +167,27 @@ def test_stratified_sample_counts(docs_ds):
     ).to_pandas()
     counts = out.groupby("lang").size()
     assert (counts == 5).all()
+
+
+def test_simhash_generalized_hamming_radius():
+    """Block-permute completeness for max_hamming != 3: a synthetic pair
+    at Hamming distance 5 must be found at radius 5 and not at 3."""
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import dataprep as dp
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    # flip a few characters so the simhashes are close but unequal
+    variant = base.replace("gamma", "gamm4", 2)
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array([base, variant])})
+    )
+    sig = dp.simhash_signatures(docs).to_pandas().set_index("doc_id")["simhash"]
+    d = bin(int(sig[1]) ^ int(sig[2])).count("1")
+    found_d = dp.simhash_pairs(docs, max_hamming=d).to_pandas()
+    assert len(found_d) == 1 and found_d.iloc[0]["hamming"] == d
+    if d > 0:
+        found_lower = dp.simhash_pairs(docs, max_hamming=d - 1).to_pandas()
+        assert len(found_lower) == 0

@@ -201,6 +201,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_out="click_event_id",
         )
 
+    def q_range_join(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Sum
+
+        bands = pa.table(
+            {
+                "lo": [0.0, 100_000.0, 200_000.0, 400_000.0],
+                "hi": [100_000.0, 200_000.0, 400_000.0, 1e12],
+                "band_id": [0, 1, 2, 3],
+            }
+        )
+        joined = relational.range_join(
+            _read(sf, "orders", ["o_orderkey", "o_totalprice"]),
+            bands,
+            value_col="o_totalprice",
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "band_id": batch["band_id"],
+                    "order_count": batch["count()"],
+                    "revenue": pc.round(batch["sum(o_totalprice)"], ndigits=2),
+                }
+            )
+
+        return (
+            joined.groupby("band_id")
+            .aggregate(Count(), Sum("o_totalprice"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("band_id")
+        )
+
     def q_top_orders_per_customer(sf):
         return relational.top_orders_per_customer(
             _read(sf, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]), k=2
@@ -391,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_join": q_order_customer_join,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "index_delete": q_index_delete,
         "index_upsert": q_index_upsert,
         "index_upsert_copart": q_index_upsert_copart,
@@ -636,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id < 50 THEN replace(text, 'data', 'DATA')
                         ELSE text END AS content
             FROM documents ORDER BY doc_id
+        """,
+        "range_join": """
+            WITH bands(lo, hi, band_id) AS (VALUES
+                (0.0, 100000.0, 0), (100000.0, 200000.0, 1),
+                (200000.0, 400000.0, 2), (400000.0, 1e12, 3))
+            SELECT band_id, COUNT(*) AS order_count,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+            GROUP BY band_id ORDER BY band_id
         """,
         "asof_join": """
             WITH p AS (SELECT user_id, event_id, ts FROM events

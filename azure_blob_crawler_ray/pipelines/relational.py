@@ -414,3 +414,40 @@ def asof_join(
         .map_groups(match, batch_format="pandas")
         .sort([on, left_out])
     )
+
+
+def range_join(
+    facts: ray.data.Dataset,
+    ranges: "pa.Table",
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    id_col: str = "band_id",
+) -> ray.data.Dataset:
+    """Range (interval) join — another operator Ray Data lacks: assign
+    each fact row the range whose [lo, hi) contains its value. The range
+    table must be SMALL (it is broadcast via ray.put), sorted by lo and
+    non-overlapping — the standard banding/bucketing join; the per-batch
+    probe is one np.searchsorted, no shuffle at all. Rows matching no
+    range are dropped (inner semantics)."""
+    import pandas as pd  # noqa: F401 (parity of imports with module)
+
+    lo = np.asarray(ranges[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    hi = np.asarray(ranges[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    ids = np.asarray(ranges[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(lo)
+    lo, hi, ids = lo[order], hi[order], ids[order]
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("range_join requires non-overlapping ranges")
+    ref = ray.put((lo, hi, ids))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lo_, hi_, ids_ = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(lo_, v, side="right") - 1
+        ok = (pos >= 0) & (v < hi_[np.maximum(pos, 0)])
+        out = batch.filter(pa.array(ok))
+        return out.append_column(id_col, pa.array(ids_[pos[ok]]))
+
+    return facts.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -75,3 +75,27 @@ def test_asof_join_matches_bruteforce(left_rows, right_rows):
         if cands:
             expect[1000 + i] = max(cands)[1]  # greatest ts, then greatest id
     assert got == expect
+
+
+def test_range_join_semantics():
+    """[lo, hi) inclusivity, non-match drop, overlap rejection."""
+    import pytest
+
+    from azure_blob_crawler_ray.pipelines.relational import range_join
+
+    facts = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "v": pa.array([0.0, 9.999, 10.0, -5.0])})
+    )
+    bands = pa.table({"lo": [0.0, 10.0], "hi": [10.0, 20.0], "band_id": [7, 8]})
+    got = (
+        range_join(facts, bands, value_col="v")
+        .to_pandas()
+        .set_index("k")["band_id"]
+        .to_dict()
+    )
+    assert got == {1: 7, 2: 7, 3: 8}  # -5.0 dropped; hi exclusive, lo inclusive
+
+    overlapping = pa.table({"lo": [0.0, 5.0], "hi": [10.0, 20.0], "band_id": [0, 1]})
+    with pytest.raises(ValueError, match="non-overlapping"):
+        range_join(facts, overlapping, value_col="v")

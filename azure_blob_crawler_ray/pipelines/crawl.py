@@ -579,8 +579,14 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # The groupby consumes the explode output directly (no extra
         # repartition: the groupby exchange repartitions anyway), and
         # only the probe's columns travel through it.
+        # batch_size coalesces the parse output's ~2-blocks-per-CPU into
+        # ~shuffle_width explode output blocks (bigger in-batch pre-dedupe
+        # runs AND a narrower sort-merge fan in the seen groupby) without
+        # an extra exchange
         links = parsed.map_batches(
-            _explode_links(wave, cfg.num_seen_shards), batch_format="pyarrow"
+            _explode_links(wave, cfg.num_seen_shards),
+            batch_format="pyarrow",
+            batch_size=max(4096, cfg.wave_budget // shuffle_width),
         )
         fresh = (
             links.groupby("seen_shard")

@@ -87,7 +87,13 @@ def split_canonical_arrow(urls):
     rest = pc.replace_substring_regex(trimmed, pattern="(?s)^[^/]*/?", replacement="")
     rest = pc.replace_substring_regex(rest, pattern="(?s)#.*$", replacement="")
     rest = pc.replace_substring_regex(rest, pattern="/$", replacement="")
-    canon = pc.binary_join_element_wise(host, rest, "/")
+    # separator typed to the inputs: a plain python "/" is a `string`
+    # scalar and the join kernel has no (large_string, large_string,
+    # string) overload — large_string columns are routine at scale
+    import pyarrow as pa
+
+    sep = pa.scalar("/", type=host.type)
+    canon = pc.binary_join_element_wise(host, rest, sep)
     return host, canon
 
 

@@ -110,3 +110,19 @@ def test_split_canonical_arrow_equals_scalar(urls):
     host_a, canon_a = split_canonical_arrow(pa.array(urls, type=pa.string()))
     assert host_a.to_pylist() == [split_host_path(u)[0] for u in urls]
     assert canon_a.to_pylist() == [canonical_url(u) for u in urls]
+
+
+def test_split_canonical_arrow_accepts_large_string():
+    # large_string columns are routine at scale (and what polars-backed
+    # exchanges emit); the join kernel must not assume `string`
+    import pyarrow as pa
+
+    from azure_blob_crawler_ray.functions.urlnorm import (
+        split_canonical_arrow,
+        split_host_path,
+    )
+
+    urls = ["https://h/p/x/", "http://h2/a#f", "https://bare"]
+    host, canon = split_canonical_arrow(pa.array(urls, type=pa.large_string()))
+    assert host.to_pylist() == [split_host_path(u)[0] for u in urls]
+    assert canon.to_pylist() == [canonical_url(u) for u in urls]

@@ -52,6 +52,29 @@ def _pool_size(lo: int = 1, floor: int = 8) -> tuple:
     return (lo, max(floor, ncpu))
 
 
+def _pairs_within_runs(
+    starts: np.ndarray, lens: np.ndarray, max_n: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Global (i, j) index pairs for all-pairs WITHIN each run of a
+    sorted array, runs given by (starts, lens); runs longer than
+    ``max_n`` are skipped (callers handle them separately). Vectorized
+    by batching runs of identical length — one triu per DISTINCT length
+    (≤ max_n iterations) instead of one Python iteration per run
+    (millions at corpus scale)."""
+    keep = (lens >= 2) & (lens <= max_n)
+    if not keep.any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    s, l = starts[keep], lens[keep]
+    out_a, out_b = [], []
+    for L in np.unique(l):
+        rs = s[l == L]
+        ia, ib = np.triu_indices(int(L), k=1)
+        out_a.append((rs[:, None] + ia[None, :]).ravel())
+        out_b.append((rs[:, None] + ib[None, :]).ravel())
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pack (doc_a, doc_b) id pairs into one uint64 key for vectorized
     local combines. PRECONDITION: ids in [0, 2^32) — distinct pairs
@@ -351,29 +374,25 @@ def minhash_lsh_pairs(
         ids = df["doc_id"].to_numpy().astype(np.int64)
         sigm = np.stack(df["sig"].to_numpy())
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], len(bk)]
-        out_a, out_b, out_e = [], [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            g_ids = ids[s:e]
-            g_sig = sigm[s:e]
-            if n <= max_bucket:  # all pairs, vectorized agreement
-                ia, ib = np.triu_indices(n, k=1)
-                agree = (g_sig[ia] == g_sig[ib]).mean(axis=1)
-            else:  # pathological bucket: star against the min-id doc
-                ia = np.zeros(n - 1, dtype=np.int64)
-                ib = np.arange(1, n)
-                agree = (g_sig[1:] == g_sig[0]).mean(axis=1)
-            out_a.append(g_ids[ia])
-            out_b.append(g_ids[ib])
-            out_e.append(agree)
-        if not out_a:
+        lens = np.diff(np.r_[starts, len(bk)])
+        # normal buckets: all pairs, batched by distinct run length —
+        # one row-wise signature-agreement pass over every pair at once
+        gi, gj = _pairs_within_runs(starts, lens, max_bucket)
+        out_a = [ids[gi]]
+        out_b = [ids[gj]]
+        out_e = [(sigm[gi] == sigm[gj]).mean(axis=1)]
+        # pathological buckets (> max_bucket identical-band docs): star
+        # pattern against the run's min-id doc — rare, looped
+        for s, n in zip(starts[lens > max_bucket], lens[lens > max_bucket]):
+            out_a.append(np.full(n - 1, ids[s], dtype=np.int64))
+            out_b.append(ids[s + 1 : s + n])
+            out_e.append((sigm[s + 1 : s + n] == sigm[s]).mean(axis=1))
+        doc_a = np.concatenate(out_a)
+        if not len(doc_a):
             return empty
         return pd.DataFrame(
             {
-                "doc_a": np.concatenate(out_a),
+                "doc_a": doc_a,
                 "doc_b": np.concatenate(out_b),
                 "est_jaccard": np.concatenate(out_e).astype(np.float64),
             }
@@ -519,28 +538,20 @@ def simhash_pairs(
         ids = df["doc_id"].to_numpy().astype(np.int64)
         h = df["simhash"].to_numpy().astype(np.uint64)
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], len(bk)]
-        out_a, out_b, out_h = [], [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            ia, ib = np.triu_indices(n, k=1)
-            x = h[s:e][ia] ^ h[s:e][ib]
-            ham = np.zeros(len(x), dtype=np.int64)
-            while x.any():
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
-            keep = ham <= max_hamming
-            out_a.append(ids[s:e][ia[keep]])
-            out_b.append(ids[s:e][ib[keep]])
-            out_h.append(ham[keep])
-        if not out_a:
+        lens = np.diff(np.r_[starts, len(bk)])
+        gi, gj = _pairs_within_runs(starts, lens, int(lens.max()))
+        if not len(gi):
             return empty
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        ham = np.concatenate(out_h)
-        pair = _pack_pairs(a, b)
+        x = h[gi] ^ h[gj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        ham = ham[keep]
+        pair = _pack_pairs(ids[gi[keep]], ids[gj[keep]])
         uniq, inv = np.unique(pair, return_inverse=True)
         best = np.full(len(uniq), 65, dtype=np.int64)
         np.minimum.at(best, inv, ham)
@@ -645,22 +656,13 @@ def ngram_jaccard_pairs(
         ids = df["doc_id"].to_numpy().astype(np.int64)
         sz = df["set_size"].to_numpy().astype(np.int64)
         starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
-        ends = np.r_[starts[1:], len(sh)]
-        out_pair, out_sa, out_sb = [], [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2 or n > max_posting:
-                continue
-            ia, ib = np.triu_indices(n, k=1)
-            a, b = ids[s:e][ia], ids[s:e][ib]
-            out_pair.append(_pack_pairs(a, b))
-            out_sa.append(sz[s:e][ia])
-            out_sb.append(sz[s:e][ib])
-        if not out_pair:
+        lens = np.diff(np.r_[starts, len(sh)])
+        gi, gj = _pairs_within_runs(starts, lens, max_posting)
+        if not len(gi):
             return empty
-        pair = np.concatenate(out_pair)
-        sa = np.concatenate(out_sa)
-        sb = np.concatenate(out_sb)
+        pair = _pack_pairs(ids[gi], ids[gj])
+        sa = sz[gi]
+        sb = sz[gj]
         uniq, first, inter = np.unique(pair, return_index=True, return_counts=True)
         return pd.DataFrame(
             {

@@ -22,7 +22,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count
 
-from .dataprep import _pack_pairs
+from .dataprep import _pack_pairs, _pairs_within_runs
 
 
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -334,21 +334,15 @@ def lsh_near_dup_pairs(
         ids = df["vec_id"].to_numpy().astype(np.int64)
         m = np.stack(df["vec"].to_numpy())
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], len(keys)]
-        out = []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            g = m[s:e]
-            sims = g @ g.T
-            ia, ib = np.triu_indices(n, k=1)
-            keep = sims[ia, ib] >= threshold
-            if keep.any():
-                out.append(_pack_pairs(ids[s:e][ia[keep]], ids[s:e][ib[keep]]))
-        if not out:
+        lens = np.diff(np.r_[starts, len(keys)])
+        gi, gj = _pairs_within_runs(starts, lens, int(lens.max()))
+        if not len(gi):
             return empty
-        pair = np.concatenate(out)
+        sims = (m[gi] * m[gj]).sum(axis=1)  # row-wise cosine per pair
+        keep = sims >= threshold
+        if not keep.any():
+            return empty
+        pair = _pack_pairs(ids[gi[keep]], ids[gj[keep]])
         uniq, counts = np.unique(pair, return_counts=True)
         return pd.DataFrame(
             {

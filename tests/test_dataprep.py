@@ -191,3 +191,43 @@ def test_simhash_generalized_hamming_radius():
     if d > 0:
         found_lower = dp.simhash_pairs(docs, max_hamming=d - 1).to_pandas()
         assert len(found_lower) == 0
+
+
+def test_ngram_jaccard_matches_bruteforce_random_corpora():
+    """The vectorized inverted-index path must equal brute-force
+    set-Jaccard when the prefix filter is disabled (guards the
+    run-length-batched pair generation rewrite)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.functions.textstats import char_ngrams, jaccard
+    from azure_blob_crawler_ray.pipelines import dataprep as dp
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(40)
+    ]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    got = dp.ngram_jaccard_pairs(
+        docs, ngram=4, threshold=0.3, max_posting=10_000
+    ).to_pandas()
+    got_pairs = {
+        (a, b): round(j, 9)
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    }
+    sets = {i: char_ngrams(t, 4) for i, t in enumerate(texts)}
+    expect = {}
+    for a, b in itertools.combinations(range(40), 2):
+        if not sets[a] or not sets[b]:
+            continue  # empty shingle sets never co-occur in a posting
+        j = jaccard(sets[a], sets[b])
+        if j >= 0.3 and len(sets[a] & sets[b]) > 0:
+            expect[(a, b)] = round(j, 9)
+    assert got_pairs == expect

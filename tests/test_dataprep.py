@@ -231,3 +231,55 @@ def test_ngram_jaccard_matches_bruteforce_random_corpora():
         if j >= 0.3 and len(sets[a] & sets[b]) > 0:
             expect[(a, b)] = round(j, 9)
     assert got_pairs == expect
+
+
+def test_signature_batching_matches_per_doc_computation():
+    """The reduceat-batched minhash/simhash signatures must equal the
+    straightforward per-document formulas (guards the batching rewrite,
+    incl. empty docs interleaved with non-empty ones)."""
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.functions.textstats import char_ngrams
+    from azure_blob_crawler_ray.hashing import hash64
+    from azure_blob_crawler_ray.pipelines import dataprep as dp
+
+    texts = ["alpha beta gamma", "", "beta beta beta delta", "   ", "x"]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    num_perm = 16
+    got = (
+        dp.minhash_signatures(docs, ngram=3, num_perm=num_perm)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    a, b = dp._minhash_params(num_perm)
+    for i, t in enumerate(texts):
+        sh = sorted(char_ngrams(t, 3))
+        if not sh:
+            expect = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            x = hash64(sh)
+            expect = ((x[:, None] * a[None, :] + b[None, :]) % dp._MERSENNE).min(axis=0)
+        assert np.array_equal(np.asarray(got.loc[i, "sig"], dtype=np.uint64), expect)
+        assert got.loc[i, "n_shingles"] == len(sh)
+
+    sim = (
+        dp.simhash_signatures(docs, ngram=3)
+        .to_pandas()
+        .set_index("doc_id")["simhash"]
+    )
+    for i, t in enumerate(texts):
+        sh = sorted(char_ngrams(t, 3))
+        if not sh:
+            assert int(sim[i]) == 0
+            continue
+        h = hash64(sh)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        expect = int(np.bitwise_or.reduce(
+            (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ))
+        assert int(sim[i]) == expect

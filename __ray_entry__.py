@@ -343,6 +343,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_posting=200,
         )
 
+    def q_dup_clusters(sf):
+        from azure_blob_crawler_ray.pipelines import graph
+
+        pairs = dataprep.ngram_jaccard_pairs(
+            _read(sf, "documents", ["doc_id", "text"]),
+            ngram=12,
+            threshold=0.5,
+            max_posting=200,
+        )
+        return graph.connected_components(pairs)
+
     def q_lsh_near_dup(sf):
         return similarity.lsh_near_dup_pairs(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -438,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "lsh_near_dup": q_lsh_near_dup,
         "ivf_topk": q_ivf_topk,
         "quality_score": q_quality,
@@ -452,6 +464,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _OCC = "CAST((length({col}) - length(replace({col}, '{t}', ''))) / length('{t}') AS BIGINT)"
+
+# 12-char-shingle inverted-index CTE chain, shared by ngram_jaccard_dedup
+# (pair list) and dup_clusters (connected components over those pairs).
+_NGRAM_CTES = """
+    norm AS (
+        SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN length(s) < 12 THEN s
+                    ELSE substring(s, i, 12) END AS shingle
+        FROM norm,
+             LATERAL unnest(range(1, GREATEST(length(s) - 10, 2))) AS t(i)
+        WHERE length(s) > 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+    ), kept AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN kept k ON k.shingle = a.shingle
+        GROUP BY a.doc_id, b.doc_id
+    )
+"""
 
 
 def _occ(term: str, col: str = "text") -> str:
@@ -710,37 +748,38 @@ def oracle_sql() -> dict[str, str]:
                        CAST(length(text) AS DOUBLE) AS chars
                 FROM documents)
         """,
-        "ngram_jaccard_dedup": """
+        "ngram_jaccard_dedup": f"""
             -- exact 12-char-shingle Jaccard >= 0.5 via the same
             -- inverted-index formulation the engine distributes:
             -- postings longer than 200 docs are dropped (prefix filter)
-            WITH norm AS (
-                SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
-                FROM documents
-            ), sh AS (
-                SELECT DISTINCT doc_id,
-                       CASE WHEN length(s) < 12 THEN s
-                            ELSE substring(s, i, 12) END AS shingle
-                FROM norm,
-                     LATERAL unnest(range(1, GREATEST(length(s) - 10, 2))) AS t(i)
-                WHERE length(s) > 0
-            ), sizes AS (
-                SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
-            ), kept AS (
-                SELECT shingle FROM sh GROUP BY shingle
-                HAVING COUNT(*) BETWEEN 2 AND 200
-            ), inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                JOIN kept k ON k.shingle = a.shingle
-                GROUP BY a.doc_id, b.doc_id
-            )
+            WITH {_NGRAM_CTES}
             SELECT doc_a, doc_b,
                    CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.5
+        """,
+        "dup_clusters": f"""
+            -- connected components (cluster = min reachable doc_id) over
+            -- the exact ngram-Jaccard near-dup pair graph
+            WITH RECURSIVE {_NGRAM_CTES}, pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.5
+            ), sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(node, lab) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node AS doc_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "token_count_bpe": """
             SELECT doc_id,

@@ -240,6 +240,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]), k=2
         )
 
+    def q_window_totals(sf):
+        return relational.user_running_totals(
+            _read(sf, "events", ["user_id", "event_id", "ts", "value"])
+        )
+
+    def q_anti_join(sf):
+        return relational.customers_without_orders(
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            min_total=300_000.0,
+        )
+
+    def q_events_pivot(sf):
+        return relational.pivot_counts(
+            _read(sf, "events", ["ts", "event_type"]),
+            categories=("click", "error", "purchase", "signup", "view"),
+        )
+
+    def q_distinct_users(sf):
+        return relational.distinct_users_per_type(
+            _read(sf, "events", ["event_type", "user_id"])
+        )
+
+    def q_events_rollup(sf):
+        return relational.events_rollup(_read(sf, "events", ["ts", "event_type"]))
+
+    def q_price_quantiles(sf):
+        return relational.group_quantiles(
+            _read(sf, "lineitem", ["l_returnflag", "l_extendedprice"]),
+            value_col="l_extendedprice",
+            group_col="l_returnflag",
+            qs=(0.5, 0.9, 0.99),
+        )
+
+    def q_bm25_search(sf):
+        return query.bm25_search(
+            _read(sf, "documents", ["doc_id", "text"]), SEARCH_TERMS, top=10
+        )
+
     def q_term_frequencies(sf):
         return dataprep.term_frequencies(
             _read(sf, "documents", ["doc_id", "text"]), top_k=50
@@ -441,6 +480,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_upsert": q_index_upsert,
         "index_upsert_copart": q_index_upsert_copart,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "window_totals": q_window_totals,
+        "anti_join": q_anti_join,
+        "events_pivot": q_events_pivot,
+        "distinct_users": q_distinct_users,
+        "events_rollup": q_events_rollup,
+        "price_quantiles": q_price_quantiles,
+        "bm25_search": q_bm25_search,
         "stable_split": q_stable_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -733,6 +779,92 @@ def oracle_sql() -> dict[str, str]:
                 FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
             ) WHERE rn = 1
             ORDER BY user_id, purchase_event_id
+        """,
+        "window_totals": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_count,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+                   CAST(COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER w), -1)
+                        AS BIGINT) AS since_prev_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, running_count
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice >= 300000.0)
+            ORDER BY c_custkey
+        """,
+        "events_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_rollup": """
+            SELECT day, event_type, event_count FROM (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       COUNT(*) AS event_count
+                FROM events GROUP BY day, event_type
+                UNION ALL
+                SELECT strftime(ts, '%Y-%m-%d') AS day, 'ALL', COUNT(*)
+                FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+                UNION ALL
+                SELECT 'ALL', 'ALL', COUNT(*) FROM events
+            ) ORDER BY day, event_type
+        """,
+        "price_quantiles": """
+            WITH ranked AS (
+                SELECT l_returnflag, l_extendedprice AS value,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            )
+            SELECT l_returnflag, q, value
+            FROM ranked
+            JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+              ON rn = CAST(CEIL(q * n) AS BIGINT)
+            ORDER BY l_returnflag, q
+        """,
+        "bm25_search": f"""
+            WITH d AS (
+                SELECT doc_id, CAST({occ_data} AS DOUBLE) AS tf0,
+                       CAST({occ_join} AS DOUBLE) AS tf1,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS dl
+                FROM documents
+            ), s AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       SUM(dl) AS sum_dl,
+                       CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+                FROM d
+            ), sc AS (
+                -- identical sub-expression shapes to the engine's numpy
+                -- (idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)))
+                SELECT doc_id,
+                       ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                         * (tf0 * (1.2 + 1.0))
+                         / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+                     + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                         * (tf1 * (1.2 + 1.0))
+                         / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+                       AS score
+                FROM d, s
+            )
+            SELECT doc_id, CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+            FROM sc ORDER BY score DESC, doc_id LIMIT 10
         """,
         "quality_score": """
             SELECT doc_id,

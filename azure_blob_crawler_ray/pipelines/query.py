@@ -159,6 +159,87 @@ def hybrid_search(
     return ray.data.from_pandas(merged.reset_index(drop=True).astype(types))
 
 
+def bm25_search(
+    docs: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    top: int = SEARCH_DEFAULT_TOP,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Okapi BM25 top-k (the length-normalized upgrade of Q1's raw TF
+    scoring; Robertson/Sparck-Jones idf with the Lucene +1 floor so idf
+    is always positive).  Two streaming passes:
+
+      pass 1  corpus stats — N, Σdl, per-term document frequency — as one
+              per-batch combine + a tiny global aggregate (never a
+              per-doc shuffle);
+      pass 2  vectorized per-batch scoring with the broadcast stats, then
+              a sort over the (id, score) projection only.
+
+    The reported score is ``score_e6`` = round(score * 1e6) as int64: the
+    engine-boundary contract stays integer while full-double precision
+    still decides the ordering (ties then break by id ascending)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    k = clamp_top(top)
+    terms = list(terms)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        wc = pc.count_substring_regex(batch[text_col], r"\S+")
+        cols = {
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "sum_dl": pa.array([pc.sum(wc).as_py() or 0], type=pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            occ = occurrences(batch[text_col], t).to_numpy()
+            cols[f"df{i}"] = pa.array([int((occ > 0).sum())], type=pa.int64())
+        return pa.table(cols)
+
+    agg = docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        _Sum("n"), _Sum("sum_dl"), *[_Sum(f"df{i}") for i in range(len(terms))]
+    )
+    n = float(agg["sum(n)"])
+    avgdl = float(agg["sum(sum_dl)"]) / n
+    idf = [
+        np.log((n - float(agg[f"sum(df{i})"]) + 0.5) / (float(agg[f"sum(df{i})"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+    import ray as _ray
+
+    ref = _ray.put((idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_, avgdl_ = _ray.get(ref)
+        dl = pc.count_substring_regex(batch[text_col], r"\S+").to_numpy().astype(
+            np.float64
+        )
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl_)
+        s = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, t in enumerate(terms):
+            tf = occurrences(batch[text_col], t).to_numpy().astype(np.float64)
+            s += idf_[i] * (tf * (k1 + 1.0)) / (tf + denom_norm)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score": pa.array(s),
+                # floor(x*1e6 + 0.5): identical in every engine for the
+                # positive scores BM25+1 guarantees (np.round would be
+                # half-to-even, SQL ROUND half-away)
+                "score_e6": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+        .select_columns([id_col, "score_e6"])
+    )
+
+
 def get_all_docs(
     docs: ray.data.Dataset,
     *,

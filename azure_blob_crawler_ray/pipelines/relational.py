@@ -292,6 +292,80 @@ def sessionize(
     )
 
 
+def user_running_totals(
+    events: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-key window functions (ROW_NUMBER / running SUM / LAG) — the
+    ordered-window family Ray Data has no primitive for.  For each event,
+    ordered by (ts, event_id) within its user: the 1-based running event
+    count, the running sum of the event value in integer cents, and the
+    microseconds since the user's previous event (-1 for the first).
+
+    All outputs are integers (cents / microseconds) so the conformance
+    hash is exact — float running sums would accumulate association-order
+    differences against any other engine.
+
+    Shape: one shuffle on a coarse hash bucket of user_id, then a single
+    vectorized pass per bucket — segmented cumsum via subtracting the
+    per-segment prefix at each user's first row.  Same partitioning
+    assumption as ``sessionize``: one bucket fits a task."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        # floor(x*100 + 0.5): engine-independent (pc.round is half-to-even,
+        # SQL ROUND half-away; this is identical everywhere for x >= 0)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": pc.cast(batch["ts"], pa.int64()),
+                "cents": cents,
+                "bucket": pa.array(b),
+            }
+        )
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype(np.int64)
+        cents = df["cents"].to_numpy().astype(np.int64)
+        n = len(df)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        first = np.flatnonzero(new_user)
+        run_len = np.diff(np.r_[first, n])
+        idx = np.arange(n, dtype=np.int64)
+        running_count = idx - np.repeat(first, run_len) + 1
+        cum = np.cumsum(cents)
+        base = np.repeat(cum[first] - cents[first], run_len)
+        running_cents = cum - base
+        prev_ts = np.r_[np.int64(0), ts[:-1]]
+        since = ts - prev_ts
+        since[new_user] = -1
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "running_count": running_count,
+                "running_cents": running_cents,
+                "since_prev_us": since,
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+        .sort(["user_id", "running_count"])
+    )
+
+
 def top_orders_per_customer(
     orders: ray.data.Dataset, *, k: int = 2, num_buckets: int = 64
 ) -> ray.data.Dataset:
@@ -330,6 +404,263 @@ def top_orders_per_customer(
         .groupby("bucket")
         .map_groups(topk, batch_format="pandas")
         .sort(["o_custkey", "rank"])
+    )
+
+
+def customers_without_orders(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    *,
+    min_total: float = 300_000.0,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """ANTI join via the native hash-partitioned ``Dataset.join`` —
+    customers with no order above ``min_total``.  The probe side is
+    filtered at the scan and projected to its key column only before the
+    exchange (anti semantics ignore right duplicates, so nothing wider
+    moves)."""
+    missing = customer.join(
+        orders.filter(expr=f"o_totalprice >= {min_total}").select_columns(
+            ["o_custkey"]
+        ),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return missing.select_columns(["c_custkey", "c_name"]).sort("c_custkey")
+
+
+def pivot_counts(
+    events: ray.data.Dataset,
+    *,
+    categories: tuple[str, ...],
+    pivot_col: str = "event_type",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """PIVOT: per-day event counts spread into one column per category.
+    The category list is an explicit argument — at corpus scale the
+    output schema must be known up front, not discovered by a scan (a
+    tiny ``groupby(pivot_col).count()`` can feed it when unknown).
+    Shape: indicator columns are summed per batch BEFORE the day-keyed
+    shuffle, so the exchange carries (days x batches) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch[ts_col], format="%Y-%m-%d")
+        cols = {"day": day}
+        for cat in categories:
+            cols[cat] = pc.cast(pc.equal(batch[pivot_col], cat), pa.int64())
+        t = pa.table(cols)
+        return t.group_by("day").aggregate([(c, "sum") for c in categories])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = {"day": batch["day"]}
+        for cat in categories:
+            out[cat] = batch[f"sum({cat})"]
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        events.select_columns([ts_col, pivot_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .rename_columns({f"{c}_sum": c for c in categories})
+        .groupby("day")
+        .aggregate(*[_Sum(c) for c in categories])
+    )
+    return agg.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+def distinct_users_per_type(
+    events: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT user_id) per event_type.  Each (type, user)
+    pair is deduped locally per batch, then shuffled on a coarse hash
+    bucket of user_id; because a user lands in exactly one bucket, the
+    per-bucket distinct counts sum to the exact global answer — no
+    corpus-wide dedup materialization, and the exchange carries only
+    locally-unique pairs."""
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"], "user_id": batch["user_id"]})
+        t = t.group_by(["event_type", "user_id"]).aggregate([])
+        uid = t["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": group["event_type"], "user_id": group["user_id"]}
+        )
+        t = t.group_by(["event_type", "user_id"]).aggregate([])
+        g = t.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "partial"])
+
+    return (
+        events.select_columns(["event_type", "user_id"])
+        .map_batches(local_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("partial", alias_name="distinct_users"))
+        .sort("event_type")
+    )
+
+
+def events_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
+    """ROLLUP / GROUPING SETS: event counts at (day, event_type), (day)
+    and grand-total levels in one output, coarser levels labeled 'ALL'.
+    Only the finest aggregate touches the raw table; the coarser levels
+    re-aggregate the (days x types)-sized result."""
+    fine = (
+        events.map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                    "event_type": b["event_type"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="event_count"))
+        .materialize()  # (days x types) rows; feeds all three levels
+    )
+    per_day = (
+        fine.groupby("day")
+        .aggregate(Sum("event_count", alias_name="event_count"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": b["day"],
+                    "event_type": pa.array(["ALL"] * b.num_rows),
+                    "event_count": b["event_count"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    tot = fine.aggregate(Sum("event_count"))  # tiny: (days x types) input
+    total = ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(["ALL"]),
+                "event_type": pa.array(["ALL"]),
+                "event_count": pa.array([int(tot["sum(event_count)"])]),
+            }
+        )
+    )
+    return fine.union(per_day, total).sort(["day", "event_type"])
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    num_value_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT per-group percentile_disc (value at rank ceil(q*n), 1-based)
+    without a global sort: the two-pass order-statistics scheme.
+
+      pass 0  per-group counts + global value range (tiny aggregates);
+      pass 1  (group, value-bucket) histogram over uniform range splits,
+              combined per batch before the shuffle — the driver sees
+              only (groups x buckets) rows, prefix-sums them, and finds
+              for each (group, q) the bucket holding the target rank and
+              the residual rank inside it;
+      pass 2  only rows of hit buckets (~n/num_value_buckets per group,
+              range-skew caveat documented) are gathered, sorted per
+              (group, bucket) and the residual index picked.
+
+    The output value is SELECTED, never recomputed, so it hash-matches
+    any engine bit-for-bit.  Skewed value ranges only inflate pass-2
+    gather size, never correctness; sampled splits are the refinement."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    counts = {
+        r[group_col]: int(r["count()"])
+        for r in ds.groupby(group_col).aggregate(Count()).take_all()
+    }
+    rng = ds.aggregate(_Min(value_col), _Max(value_col))
+    lo, hi = float(rng[f"min({value_col})"]), float(rng[f"max({value_col})"])
+    splits = np.linspace(lo, hi, num_value_buckets + 1)[1:-1]  # interior edges
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        vb = np.searchsorted(splits, v, side="right").astype(np.int32)
+        t = pa.table({"g": batch[group_col], "vb": pa.array(vb)})
+        g = t.group_by(["g", "vb"]).aggregate([("vb", "count")])
+        return g.rename_columns(["g", "vb", "n"])
+
+    hist_rows = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "vb"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    # driver-side prefix sum over (groups x buckets) rows — bounded small
+    by_group: dict = {}
+    for r in hist_rows:
+        by_group.setdefault(r["g"], []).append((int(r["vb"]), int(r["n"])))
+    targets: dict = {}  # (g, vb) -> list of (q, residual 0-based rank)
+    for g, buckets in by_group.items():
+        buckets.sort()
+        n = counts[g]
+        cum = 0
+        ranks = sorted(
+            (int(np.ceil(q * n)) - 1, q) for q in qs
+        )  # 0-based percentile_disc rank
+        it = iter(ranks)
+        want = next(it, None)
+        for vb, cnt in buckets:
+            while want is not None and want[0] < cum + cnt:
+                targets.setdefault((g, vb), []).append((want[1], want[0] - cum))
+                want = next(it, None)
+            cum += cnt
+    ref = ray.put(targets)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        tg = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        vb = np.searchsorted(splits, v, side="right").astype(np.int32)
+        keep = np.zeros(len(v), dtype=bool)
+        for g, b in tg:  # few (group, bucket) targets; inner test vectorized
+            gm = pc.equal(batch[group_col], g).to_numpy(zero_copy_only=False)
+            keep |= gm & (vb == b)
+        return pa.table(
+            {
+                "g": batch[group_col].filter(pa.array(keep)),
+                "vb": pa.array(vb[keep]),
+                "v": pa.array(v[keep]),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        tg = ray.get(ref)
+        g = df["g"].iloc[0]
+        vb = int(df["vb"].iloc[0])
+        vals = np.sort(df["v"].to_numpy())
+        rows = [(q, vals[r]) for q, r in tg[(g, vb)]]
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(rows),
+                "q": [q for q, _ in rows],
+                "value": [v for _, v in rows],
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "vb"])
+        .map_groups(pick, batch_format="pandas")
+        .sort([group_col, "q"])
     )
 
 

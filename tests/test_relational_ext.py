@@ -1,0 +1,109 @@
+"""Window / pivot / distinct / rollup / quantile / anti-join / BM25 ops
+vs brute-force pandas oracles at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.pipelines import relational
+from azure_blob_crawler_ray.pipelines.query import bm25_search
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def events_ds():
+    return ray.data.read_parquet(f"{SF}/events.parquet")
+
+
+def test_user_running_totals(events_ds, events_pd):
+    got = relational.user_running_totals(events_ds).to_pandas()
+    df = events_pd.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for uid, g in df.assign(cents=cents).groupby("user_id"):
+        sub = got[got["user_id"] == uid].sort_values("running_count")
+        assert sub["event_id"].tolist() == g["event_id"].tolist()
+        assert sub["running_cents"].tolist() == g["cents"].cumsum().tolist()
+        ts = g["ts"].astype("int64").to_numpy()
+        want = np.r_[np.int64(-1), np.diff(ts)]
+        assert sub["since_prev_us"].tolist() == want.tolist()
+
+
+def test_pivot_matches_crosstab(events_ds, events_pd):
+    cats = ("click", "error", "purchase", "signup", "view")
+    got = relational.pivot_counts(events_ds, categories=cats).to_pandas()
+    day = events_pd["ts"].dt.strftime("%Y-%m-%d")
+    ct = pd.crosstab(day, events_pd["event_type"]).reindex(columns=list(cats), fill_value=0)
+    got = got.set_index("day").sort_index()
+    assert (got[list(cats)].to_numpy() == ct.sort_index().to_numpy()).all()
+
+
+def test_distinct_users(events_ds, events_pd):
+    got = relational.distinct_users_per_type(events_ds).to_pandas()
+    want = events_pd.groupby("event_type")["user_id"].nunique()
+    assert dict(zip(got["event_type"], got["distinct_users"])) == want.to_dict()
+
+
+def test_rollup_levels(events_ds, events_pd):
+    got = relational.events_rollup(events_ds).to_pandas()
+    total = got[(got["day"] == "ALL") & (got["event_type"] == "ALL")]
+    assert total["event_count"].tolist() == [len(events_pd)]
+    day_rows = got[(got["day"] != "ALL") & (got["event_type"] == "ALL")]
+    assert day_rows["event_count"].sum() == len(events_pd)
+    fine = got[(got["day"] != "ALL") & (got["event_type"] != "ALL")]
+    assert fine["event_count"].sum() == len(events_pd)
+
+
+@pytest.mark.parametrize("num_value_buckets", [4, 64])
+def test_group_quantiles_exact(num_value_buckets):
+    li = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    got = relational.group_quantiles(
+        li,
+        value_col="l_extendedprice",
+        group_col="l_returnflag",
+        qs=(0.5, 0.9, 0.99),
+        num_value_buckets=num_value_buckets,
+    ).to_pandas()
+    pdf = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    for (g, q), sub in got.groupby(["l_returnflag", "q"]):
+        vals = np.sort(pdf.loc[pdf["l_returnflag"] == g, "l_extendedprice"].to_numpy())
+        want = vals[int(np.ceil(q * len(vals))) - 1]  # percentile_disc
+        assert sub["value"].tolist() == [want], (g, q)
+
+
+def test_anti_join_native():
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    got = relational.customers_without_orders(cust, orders, min_total=300_000.0).to_pandas()
+    cpd = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    opd = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    big = set(opd.loc[opd["o_totalprice"] >= 300_000.0, "o_custkey"])
+    want = sorted(set(cpd["c_custkey"]) - big)
+    assert got["c_custkey"].tolist() == want
+
+
+def test_bm25_ranks_term_docs_first():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = bm25_search(docs, ("data", "join"), top=10).to_pandas()
+    assert len(got) == 10
+    assert (got["score_e6"] > 0).all()
+    # returned docs must actually contain a query term
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas().set_index("doc_id")
+    for d in got["doc_id"]:
+        t = pdf.loc[d, "text"]
+        assert "data" in t or "join" in t
+    # scores are descending
+    assert (np.diff(got["score_e6"].to_numpy()) <= 0).all()

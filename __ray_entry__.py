@@ -252,6 +252,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_total=300_000.0,
         )
 
+    def q_semi_join(sf):
+        return relational.customers_with_big_orders(
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            min_total=450_000.0,
+        )
+
     def q_events_pivot(sf):
         return relational.pivot_counts(
             _read(sf, "events", ["ts", "event_type"]),
@@ -482,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "window_totals": q_window_totals,
         "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
         "events_pivot": q_events_pivot,
         "distinct_users": q_distinct_users,
         "events_rollup": q_events_rollup,
@@ -796,6 +804,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_totalprice >= 300000.0)
+            ORDER BY c_custkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice >= 450000.0)
             ORDER BY c_custkey
         """,
         "events_pivot": """

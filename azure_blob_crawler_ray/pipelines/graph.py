@@ -55,7 +55,8 @@ def connected_components(
     dst_col: str = "doc_b",
     out_node: str = "doc_id",
     out_label: str = "cluster_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
+    rows_per_bucket: int = 65_536,
     max_iters: int = 64,
 ) -> ray.data.Dataset:
     """Connected components of the undirected graph given by
@@ -65,30 +66,32 @@ def connected_components(
     edges) are intentionally absent — they are their own cluster and
     emitting corpus-sized output from an edge-sized input would defeat
     the point.
+
+    ``num_buckets`` defaults to ADAPTIVE: ~``rows_per_bucket`` directed
+    edges per bucket, capped at 64 — a near-dup graph is usually orders
+    of magnitude smaller than its corpus, and a fixed-wide shuffle would
+    make every propagation round pay 64 tasks of pure scheduling for a
+    few hundred edges.  Pass an explicit width for known-huge graphs.
     """
 
     def to_directed(batch: pa.Table) -> pa.Table:
         a = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = np.concatenate([a, b])
-        v = np.concatenate([b, a])
         return pa.table(
             {
-                "key": pa.array(u),
-                "other": pa.array(v),
-                "label": pa.array(np.zeros(len(u), dtype=np.int64)),
-                "kind": pa.array(np.zeros(len(u), dtype=np.int8)),
-                "bucket": pa.array(_bucket_of(u, num_buckets)),
+                "key": pa.array(np.concatenate([a, b])),
+                "other": pa.array(np.concatenate([b, a])),
             }
         )
 
     # Edges are read many times (once per round) — materialize ONCE so the
     # upstream pair-generation lineage (LSH banding etc.) never re-runs.
-    directed = edges.map_batches(
+    raw = edges.map_batches(
         to_directed, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    if directed.count() == 0:  # free: materialized metadata
+    n_directed = raw.count()  # free: materialized metadata
+    if n_directed == 0:
         empty = pa.table(
             {
                 out_node: pa.array([], type=pa.int64()),
@@ -96,6 +99,29 @@ def connected_components(
             }
         )
         return ray.data.from_arrow(empty)
+
+    if num_buckets is None:
+        num_buckets = min(64, (n_directed - 1) // rows_per_bucket + 1)
+
+    def add_edge_cols(batch: pa.Table) -> pa.Table:
+        u = batch["key"].to_numpy()
+        return pa.table(
+            {
+                "key": batch["key"],
+                "other": batch["other"],
+                "label": pa.array(np.zeros(len(u), dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(u), dtype=np.int8)),
+                "bucket": pa.array(_bucket_of(u, num_buckets)),
+            }
+        )
+
+    # coalesce to the shuffle width so every round's union/groupby moves
+    # num_buckets blocks, not one block per upstream pair-gen task
+    directed = (
+        raw.repartition(num_buckets)
+        .map_batches(add_edge_cols, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
 
     def init_labels(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["key"].to_numpy())  # local dedup before the shuffle

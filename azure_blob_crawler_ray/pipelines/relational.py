@@ -431,6 +431,29 @@ def customers_without_orders(
     return missing.select_columns(["c_custkey", "c_name"]).sort("c_custkey")
 
 
+def customers_with_big_orders(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    *,
+    min_total: float = 450_000.0,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SEMI join (``left_semi``), the EXISTS counterpart of
+    ``customers_without_orders``: customers with at least one order above
+    ``min_total``.  Same projected/filtered probe side — semi semantics
+    also ignore right-side duplicates."""
+    hit = customer.join(
+        orders.filter(expr=f"o_totalprice >= {min_total}").select_columns(
+            ["o_custkey"]
+        ),
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return hit.select_columns(["c_custkey", "c_name"]).sort("c_custkey")
+
+
 def pivot_counts(
     events: ray.data.Dataset,
     *,
@@ -582,10 +605,6 @@ def group_quantiles(
     gather size, never correctness; sampled splits are the refinement."""
     from ray.data.aggregate import Max as _Max, Min as _Min
 
-    counts = {
-        r[group_col]: int(r["count()"])
-        for r in ds.groupby(group_col).aggregate(Count()).take_all()
-    }
     rng = ds.aggregate(_Min(value_col), _Max(value_col))
     lo, hi = float(rng[f"min({value_col})"]), float(rng[f"max({value_col})"])
     splits = np.linspace(lo, hi, num_value_buckets + 1)[1:-1]  # interior edges
@@ -604,14 +623,15 @@ def group_quantiles(
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
     )
-    # driver-side prefix sum over (groups x buckets) rows — bounded small
+    # driver-side prefix sum over (groups x buckets) rows — bounded small;
+    # per-group totals fall out of the histogram, no separate count pass
     by_group: dict = {}
     for r in hist_rows:
         by_group.setdefault(r["g"], []).append((int(r["vb"]), int(r["n"])))
     targets: dict = {}  # (g, vb) -> list of (q, residual 0-based rank)
     for g, buckets in by_group.items():
         buckets.sort()
-        n = counts[g]
+        n = sum(cnt for _, cnt in buckets)
         cum = 0
         ranks = sorted(
             (int(np.ceil(q * n)) - 1, q) for q in qs

@@ -161,6 +161,10 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "sessionize",
         "asof_join",
         "index_upsert",
+        "dup_clusters",
+        "window_totals",
+        "price_quantiles",
+        "bm25_search",
     ]
     out = {}
     for name in names:

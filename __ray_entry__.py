@@ -270,6 +270,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         )
 
+    def q_orders_above_avg(sf):
+        return relational.orders_above_customer_avg(
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        )
+
     def q_events_rollup(sf):
         return relational.events_rollup(_read(sf, "events", ["ts", "event_type"]))
 
@@ -419,6 +424,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_count_bpe(sf):
         return dataprep.token_count_bpe(_read(sf, "documents", ["doc_id", "text"]))
 
+    def q_approx_distinct(sf):
+        return relational.approx_distinct_users_per_type(
+            _read(sf, "events", ["event_type", "user_id"])
+        )
+
     def q_media_features(sf):
         import pyarrow as pa
 
@@ -492,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "events_pivot": q_events_pivot,
         "distinct_users": q_distinct_users,
+        "orders_above_avg": q_orders_above_avg,
         "events_rollup": q_events_rollup,
         "price_quantiles": q_price_quantiles,
         "bm25_search": q_bm25_search,
@@ -506,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "lsh_near_dup": q_lsh_near_dup,
         "ivf_topk": q_ivf_topk,
+        "approx_distinct_users": q_approx_distinct,
         "quality_score": q_quality,
         "token_count_bpe": q_token_count_bpe,
         "media_features": q_media_features,
@@ -825,6 +837,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_above_avg": """
+            WITH m AS (
+                SELECT o_custkey, SUM(o_totalprice) / COUNT(*) AS mean
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+            WHERE o.o_totalprice > 2.0 * m.mean
+            ORDER BY o.o_orderkey
         """,
         "events_rollup": """
             SELECT day, event_type, event_count FROM (

@@ -532,6 +532,153 @@ def distinct_users_per_type(
     )
 
 
+def approx_distinct_users_per_type(
+    events: ray.data.Dataset, *, precision: int = 12
+) -> ray.data.Dataset:
+    """APPROXIMATE count-distinct per event_type via a HyperLogLog sketch
+    (Flajolet et al. 2007, with the standard linear-counting small-range
+    correction) — the scale path next to the exact
+    ``distinct_users_per_type``: the shuffle moves at most
+    (types x 2^precision) register rows per batch instead of every
+    locally-unique (type, user) pair, so its cost is INDEPENDENT of user
+    cardinality.  Deterministic: registers come from a fixed splitmix64
+    mix of user_id, so every run and any partitioning yields the same
+    estimate.  Standard error ~1.04/sqrt(2^precision) (~1.6% at p=12)."""
+    m = 1 << precision
+    shift = np.uint64(64 - precision)
+
+    def local_regs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        # splitmix64 finalizer
+        h = uid + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        reg = (h >> shift).astype(np.int64)
+        rest = (h << np.uint64(precision)) | np.uint64((1 << precision) - 1)
+        # rho = leading zeros of the remaining bits + 1, computed via
+        # bit-length: 64 - floor(log2(rest)) (rest has the low bits set,
+        # so it is never 0)
+        rho = np.zeros(len(h), dtype=np.int64)
+        x = rest.copy()
+        for b in (32, 16, 8, 4, 2, 1):  # vectorized bit-length, 6 steps
+            big = x >= (np.uint64(1) << np.uint64(b))
+            rho[big] += b
+            x[big] >>= np.uint64(b)
+        rho = 64 - rho  # leading zeros + 1 over the 64-bit shifted value
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "reg": pa.array(reg),
+                "rho": pa.array(rho),
+            }
+        )
+        g = t.group_by(["event_type", "reg"]).aggregate([("rho", "max")])
+        return g.rename_columns(["event_type", "reg", "rho"])
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].iloc[0]
+        regs = np.zeros(m, dtype=np.int64)
+        regs[df["reg"].to_numpy()] = df["rho"].to_numpy()
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        if raw <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting
+        else:
+            est = raw
+        return pd.DataFrame({"event_type": [et], "approx_users": [int(round(est))]})
+
+    from ray.data.aggregate import Max as _Max
+
+    return (
+        events.select_columns(["event_type", "user_id"])
+        .map_batches(local_regs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "reg"])
+        .aggregate(_Max("rho", alias_name="rho"))
+        .groupby("event_type")
+        .map_groups(estimate, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+def orders_above_customer_avg(
+    orders: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Correlated-subquery shape (TPC-H Q17 family): orders whose total
+    exceeds twice their customer's average order value.  One aggregate
+    pass builds the per-customer means; the fact table then probes them.
+    Means are integer-free floats, so the FILTER uses them but the
+    OUTPUT carries only copied columns — hash-exact.
+
+    Shape: the per-customer aggregate is shuffled once; the probe is the
+    coarse-bucket co-group pattern (aggregate rows + fact rows in one
+    bucket shuffle, vectorized searchsorted inside) — no broadcast, so an
+    unbounded customer dimension still streams."""
+
+    def tag(kind: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy().astype(np.uint64)
+            b = ((ck * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            if kind == 0:  # aggregate side: (custkey, sum, cnt)
+                return pa.table(
+                    {
+                        "o_custkey": batch["o_custkey"],
+                        "o_orderkey": pa.array(
+                            np.full(batch.num_rows, -1, dtype=np.int64)
+                        ),
+                        "total": batch["sum(o_totalprice)"],
+                        "cnt": batch["count()"],
+                        "bucket": pa.array(b),
+                    }
+                )
+            return pa.table(
+                {
+                    "o_custkey": batch["o_custkey"],
+                    "o_orderkey": batch["o_orderkey"],
+                    "total": batch["o_totalprice"],
+                    "cnt": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                    "bucket": pa.array(b),
+                }
+            )
+
+        return fn
+
+    sums = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice"), Count())
+        .map_batches(tag(0), batch_format="pyarrow")
+    )
+    facts = orders.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df[df["o_orderkey"] < 0]
+        fact = df[df["o_orderkey"] >= 0]
+        ck = agg["o_custkey"].to_numpy()
+        order = np.argsort(ck, kind="stable")
+        ck = ck[order]
+        mean = (agg["total"].to_numpy() / agg["cnt"].to_numpy())[order]
+        pos = np.searchsorted(ck, fact["o_custkey"].to_numpy())
+        keep = fact["total"].to_numpy() > 2.0 * mean[pos]
+        out = fact.iloc[keep, :]
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].to_numpy(),
+                "o_custkey": out["o_custkey"].to_numpy(),
+                "o_totalprice": out["total"].to_numpy(),
+            }
+        )
+
+    return (
+        sums.union(facts)
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pandas")
+        .sort("o_orderkey")
+    )
+
+
 def events_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
     """ROLLUP / GROUPING SETS: event counts at (day, event_type), (day)
     and grand-total levels in one output, coarser levels labeled 'ALL'.

@@ -95,6 +95,35 @@ def test_anti_join_native():
     assert got["c_custkey"].tolist() == want
 
 
+def test_approx_distinct_within_error(events_ds, events_pd):
+    got = relational.approx_distinct_users_per_type(events_ds).to_pandas()
+    exact = events_pd.groupby("event_type")["user_id"].nunique()
+    for et, est in zip(got["event_type"], got["approx_users"]):
+        # p=12 -> ~1.6% stderr; small cardinalities use linear counting.
+        # allow 5% or +-3 absolute, whichever is larger
+        tol = max(3, 0.05 * exact[et])
+        assert abs(est - exact[et]) <= tol, (et, est, exact[et])
+
+
+def test_approx_distinct_partitioning_invariant(events_ds):
+    a = relational.approx_distinct_users_per_type(events_ds).to_pandas()
+    b = relational.approx_distinct_users_per_type(
+        events_ds.repartition(7)
+    ).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_orders_above_customer_avg():
+    orders = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    got = relational.orders_above_customer_avg(orders).to_pandas()
+    opd = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    mean = opd.groupby("o_custkey")["o_totalprice"].transform("mean")
+    want = opd.loc[opd["o_totalprice"] > 2.0 * mean, "o_orderkey"].sort_values()
+    assert got["o_orderkey"].tolist() == want.tolist()
+
+
 def test_bm25_ranks_term_docs_first():
     docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     got = bm25_search(docs, ("data", "join"), top=10).to_pandas()

@@ -314,6 +314,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "text"]), capacity=500
         )
 
+    def q_pack_interleaved(sf):
+        return dataprep.pack_interleaved(
+            _read(sf, "documents", ["doc_id", "text"]),
+            capacity=800,
+            media_every=3,
+            media_tokens=64,
+        )
+
     def q_index_delete(sf):
         from azure_blob_crawler_ray.pipelines.index_ops import index_delete
 
@@ -509,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_split": q_stable_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "pack_interleaved": q_pack_interleaved,
         "term_frequencies": q_term_frequencies,
         "length_stats": q_length_stats,
         "minhash_lsh_dedup": q_minhash_lsh,
@@ -742,6 +751,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
                        SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+                           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents)
+        """,
+        "pack_interleaved": """
+            SELECT doc_id, tokens,
+                   CAST(FLOOR((cum - tokens) / 800) AS BIGINT) AS bin
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+'))
+                            + (doc_id % 3) * 64 AS BIGINT) AS tokens,
+                       SUM(CAST(len(regexp_extract_all(text, '\\S+'))
+                                + (doc_id % 3) * 64 AS BIGINT))
                            OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                 FROM documents)
         """,

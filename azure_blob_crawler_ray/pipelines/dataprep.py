@@ -831,7 +831,7 @@ def stratified_sample(
 
 
 def pack_sequences(
-    docs: ray.data.Dataset, *, capacity: int = 500
+    docs: ray.data.Dataset, *, capacity: int = 500, token_cost=None
 ) -> ray.data.Dataset:
     """Sequence packing for training batches: documents (ordered by
     doc_id) fill contiguous bins of ~``capacity`` whitespace tokens —
@@ -850,15 +850,19 @@ def pack_sequences(
       3. pass 2: broadcast the tiny offset map (ray.put, read once per
          task); each block does a local cumsum + its broadcast offset.
 
-    Assumes doc_id is unique (it is the corpus primary key)."""
+    Assumes doc_id is unique (it is the corpus primary key).
+
+    ``token_cost`` (optional): fn(batch: pa.Table) -> int64 pa.Array of
+    per-doc token costs, replacing the default whitespace word count —
+    the seam ``pack_interleaved`` uses to price media spans in."""
 
     def counted(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "tokens": pc.cast(word_count(batch["text"]), pa.int64()),
-            }
+        toks = (
+            token_cost(batch)
+            if token_cost is not None
+            else pc.cast(word_count(batch["text"]), pa.int64())
         )
+        return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
 
     # deterministic global order by doc_id; materialize the narrow
     # 2-column projection so pass 1 and pass 2 iterate the SAME blocks
@@ -915,3 +919,30 @@ def pack_sequences(
     return ordered.map_batches(
         assign_bins, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def pack_interleaved(
+    docs: ray.data.Dataset,
+    *,
+    capacity: int = 800,
+    media_every: int = 3,
+    media_tokens: int = 64,
+) -> ray.data.Dataset:
+    """Sequence packing for INTERLEAVED text+media documents (the
+    north-star table shape): a document's budget cost is its text token
+    count plus its media spans priced at ``media_tokens`` each — the way
+    a multimodal training pipeline charges patch/frame embeddings
+    against the context window.  The media-span count is derived
+    deterministically from the row (doc_id % media_every), keeping the
+    packing reproducible from the table alone and SQL-checkable; a real
+    span table plugs the same cost in per row via ``token_cost``.
+
+    Same hierarchical prefix-sum as ``pack_sequences`` — nothing
+    row-scale reaches the driver."""
+
+    def cost(batch: pa.Table) -> pa.Array:
+        wc = pc.cast(word_count(batch["text"]), pa.int64()).to_numpy()
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.array(wc + (did % media_every) * media_tokens)
+
+    return pack_sequences(docs, capacity=capacity, token_cost=cost)

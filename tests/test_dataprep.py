@@ -160,6 +160,24 @@ def test_pack_sequences_bins_are_contiguous_and_bounded(docs_ds):
         assert grp["tokens"].sum() <= 500 + grp["tokens"].max()
 
 
+def test_pack_interleaved_charges_media_tokens(docs_ds, docs_pd):
+    import re
+
+    out = dataprep.pack_interleaved(
+        docs_ds, capacity=800, media_every=3, media_tokens=64
+    ).to_pandas()
+    ref = docs_pd.sort_values("doc_id")
+    want = (
+        ref["text"].map(lambda t: len(re.findall(r"\S+", t))).to_numpy()
+        + (ref["doc_id"].to_numpy() % 3) * 64
+    )
+    got = out.sort_values("doc_id")
+    assert got["tokens"].tolist() == want.tolist()
+    # bin = floor(exclusive-prefix / capacity) over doc_id order
+    cum = np.cumsum(want)
+    assert got["bin"].tolist() == ((cum - want) // 800).tolist()
+
+
 def test_stratified_sample_counts(docs_ds):
     out = dataprep.stratified_sample(
         ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"]),

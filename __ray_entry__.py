@@ -378,6 +378,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id"
         )
 
+    def q_latest_event_per_user(sf):
+        return relational.latest_event_per_user(
+            _read(sf, "events", ["user_id", "event_id", "ts"])
+        )
+
+    def q_nation_balance(sf):
+        return relational.nation_balance(
+            _read(sf, "customer", ["c_nationkey", "c_acctbal"]),
+            _read(sf, "supplier", ["s_nationkey", "s_acctbal"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        )
+
+    def q_events_hopping(sf):
+        return relational.events_hopping(
+            _read(sf, "events", ["ts", "value"]), size_days=2, hop_days=1
+        )
+
+    def q_bigram_counts(sf):
+        return dataprep.bigram_counts(
+            _read(sf, "documents", ["doc_id", "text"]), top_k=50
+        )
+
+    def q_decontaminate(sf):
+        return dataprep.decontaminate(
+            _read(sf, "documents", ["doc_id", "text"]), bench_below=20, ngram=20
+        )
+
+    def q_shard_manifest(sf):
+        return dataprep.shard_manifest(
+            _read(sf, "documents", ["doc_id", "n_chars"]), num_shards=16
+        )
+
+    def q_label_centroids(sf):
+        return similarity.label_centroids(
+            _read(sf, "embeddings", ["label", "embedding"])
+        )
+
     # ---- rows-only ops (non-SQL-expressible; driver records row counts) ----
 
     def q_minhash_lsh(sf):
@@ -520,6 +557,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_interleaved": q_pack_interleaved,
         "term_frequencies": q_term_frequencies,
         "length_stats": q_length_stats,
+        "latest_event_per_user": q_latest_event_per_user,
+        "nation_balance": q_nation_balance,
+        "events_hopping": q_events_hopping,
+        "bigram_counts": q_bigram_counts,
+        "decontaminate": q_decontaminate,
+        "shard_manifest": q_shard_manifest,
+        "label_centroids": q_label_centroids,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -773,6 +817,82 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY occurrences DESC, term
             LIMIT 50
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id AS last_event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+            FROM (SELECT user_id, event_id, ts,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "nation_balance": """
+            WITH c AS (
+                SELECT c_nationkey AS k, COUNT(*) AS n_customers,
+                       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cust_cents
+                FROM customer GROUP BY c_nationkey
+            ), s AS (
+                SELECT s_nationkey AS k, COUNT(*) AS n_suppliers,
+                       CAST(SUM(CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS supp_cents
+                FROM supplier GROUP BY s_nationkey
+            )
+            SELECT n.n_name,
+                   COALESCE(c.n_customers, 0) AS n_customers,
+                   COALESCE(c.cust_cents, 0) AS cust_cents,
+                   COALESCE(s.n_suppliers, 0) AS n_suppliers,
+                   COALESCE(s.supp_cents, 0) AS supp_cents
+            FROM c FULL OUTER JOIN s ON c.k = s.k
+            JOIN nation n ON n.n_nationkey = COALESCE(c.k, s.k)
+            ORDER BY n.n_name
+        """,
+        "events_hopping": """
+            SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) - off AS window_day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            FROM events CROSS JOIN (VALUES (0), (1)) offs(off)
+            GROUP BY window_day ORDER BY window_day
+        """,
+        "bigram_counts": """
+            SELECT t[i] || ' ' || t[i + 1] AS bigram,
+                   CAST(COUNT(*) AS BIGINT) AS occurrences
+            FROM (SELECT regexp_extract_all(text, '\\S+') AS t FROM documents),
+                 LATERAL unnest(range(1, GREATEST(len(t), 1))) AS u(i)
+            GROUP BY bigram
+            ORDER BY occurrences DESC, bigram
+            LIMIT 50
+        """,
+        "decontaminate": """
+            WITH bench AS (
+                SELECT DISTINCT substr(text, i, 20) AS sh
+                FROM documents,
+                     LATERAL unnest(range(1, GREATEST(length(text) - 18, 1))) AS t(i)
+                WHERE doc_id < 20 AND length(text) >= 20
+            ), hits AS (
+                SELECT DISTINCT doc_id
+                FROM documents,
+                     LATERAL unnest(range(1, GREATEST(length(text) - 18, 1))) AS t(i)
+                WHERE doc_id >= 20 AND length(text) >= 20
+                  AND substr(text, i, 20) IN (SELECT sh FROM bench)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM hits)
+            ORDER BY doc_id
+        """,
+        "shard_manifest": """
+            SELECT CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY shard ORDER BY shard
+        """,
+        "label_centroids": """
+            SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n_vals FROM (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+                            AS BIGINT) AS q
+                FROM embeddings)
+            GROUP BY label, pos ORDER BY label, pos
         """,
         "length_stats": """
             SELECT lang, COUNT(*) AS n_docs,

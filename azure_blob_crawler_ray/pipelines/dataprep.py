@@ -946,3 +946,182 @@ def pack_interleaved(
         return pa.array(wc + (did % media_every) * media_tokens)
 
     return pack_sequences(docs, capacity=capacity, token_cost=cost)
+
+
+def bigram_counts(docs: ray.data.Dataset, *, top_k: int = 50) -> ray.data.Dataset:
+    """Top-k bigram (consecutive-token-pair) frequencies — the n-gram
+    statistics pass a corpus LM/quality pipeline runs beside
+    ``term_frequencies``.  Same map-side-combine shape: bigrams are
+    formed AND counted inside each batch (pure Arrow/numpy — tokens
+    never become Python objects), so the shuffle moves one row per
+    (bigram × batch).  Ties in the top-k break by bigram text.
+
+    Pair formation is offset arithmetic over the flattened token-list
+    array: for each document the pair indices are (i, i+1) within the
+    document's [offset, offset+len) slice — np.repeat/arange, no loop."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern_regex(batch["text"], r"\s+")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        off = tokens.offsets.to_numpy().astype(np.int64)
+        vals = tokens.values
+        n_pairs = np.maximum(np.diff(off) - 1, 0)
+        total = int(n_pairs.sum())
+        if total == 0:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "occurrences": pa.array([], type=pa.int64())}
+            )
+        starts = off[:-1]
+        left = (
+            np.repeat(starts, n_pairs)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(n_pairs) - n_pairs, n_pairs)
+        )
+        lt = vals.take(pa.array(left))
+        rt = vals.take(pa.array(left + 1))
+        # split_pattern_regex only yields '' at a doc's first/last slot
+        # (leading/trailing whitespace); the SQL oracle extracts \S+ so
+        # pairs touching those are not real token pairs — mask them.
+        ok = pc.and_(pc.not_equal(lt, ""), pc.not_equal(rt, ""))
+        bg = pc.binary_join_element_wise(lt.filter(ok), rt.filter(ok), " ")
+        vc = pc.value_counts(bg)
+        return pa.table(
+            {
+                "bigram": vc.field("values"),
+                "occurrences": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("occurrences", alias_name="occurrences"))
+        .sort(["occurrences", "bigram"], descending=[True, False])
+        .limit(top_k)
+    )
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    *,
+    bench_below: int = 20,
+    ngram: int = 13,
+) -> ray.data.Dataset:
+    """Benchmark decontamination — drop every corpus document that shares
+    any ``ngram``-character shingle with the benchmark set (here: docs
+    with doc_id < ``bench_below``), the standard eval-leakage filter a
+    training corpus goes through before packing.
+
+    Scale shape: the benchmark side is SMALL by definition — its shingle
+    set is built once on the driver and broadcast via ``ray.put`` (read
+    once per actor, never re-shipped per batch).  The corpus side streams
+    through one ``map_batches``: all texts of a batch are concatenated
+    into one byte buffer with NUL-gap separators (documents are ASCII;
+    NUL never occurs in a real shingle, so cross-document windows cannot
+    false-match), a single ``sliding_window_view`` + polynomial dot
+    produces every window hash in one vector op, and ``np.isin`` against
+    the benchmark hash array flags candidate docs.  Only candidates pay
+    an exact (string-level) verify against the benchmark shingle set, so
+    hash collisions cannot change the result — output is exact and
+    engine-independent."""
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    weights = np.array(
+        [pow(257, ngram - 1 - i, 1 << 64) for i in range(ngram)], dtype=np.uint64
+    )
+
+    def shingle_hashes(buf: np.ndarray) -> np.ndarray:
+        if len(buf) < ngram:
+            return np.empty(0, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(buf, ngram)
+        return win.astype(np.uint64) @ weights  # uint64 wrap = the hash
+
+    bench_texts = [
+        t
+        for t in docs.filter(expr=f"doc_id < {bench_below}")
+        .select_columns(["text"])
+        .to_pandas()["text"]
+        if len(t) >= ngram
+    ]
+    bench_set = {
+        t[i : i + ngram] for t in bench_texts for i in range(len(t) - ngram + 1)
+    }
+    bench_hashes = np.unique(
+        np.concatenate(
+            [shingle_hashes(np.frombuffer(t.encode(), dtype=np.uint8))
+             for t in bench_texts]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    ref = ray.put((bench_hashes, bench_set))
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        hashes, exact = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        corpus = (ids >= bench_below)
+        gap = b"\x00" * ngram
+        buf = np.frombuffer(gap.join(t.encode() for t in texts), dtype=np.uint8)
+        hits = np.zeros(len(texts), dtype=bool)
+        if len(buf) >= ngram and len(hashes):
+            hv = shingle_hashes(buf)
+            flag = np.isin(hv, hashes)
+            if flag.any():
+                # map window start -> doc index (gaps belong to no doc)
+                lens = np.array([len(t.encode()) for t in texts], dtype=np.int64)
+                starts = np.concatenate(([0], np.cumsum(lens + ngram)[:-1]))
+                for pos in np.flatnonzero(flag):
+                    d = int(np.searchsorted(starts, pos, side="right") - 1)
+                    if pos + ngram <= starts[d] + lens[d] and corpus[d]:
+                        t = texts[d]
+                        s = t[pos - starts[d] : pos - starts[d] + ngram]
+                        if s in exact:
+                            hits[d] = True
+        return pa.table(
+            {"doc_id": pa.array(ids[corpus & ~hits], type=pa.int64())}
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(keep_clean, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def shard_manifest(
+    docs: ray.data.Dataset, *, num_shards: int = 16
+) -> ray.data.Dataset:
+    """Deterministic output sharding manifest — the bookkeeping step
+    behind resumable partitioned writes: assign every doc a shard by a
+    fixed multiplicative hash of its id and report per-shard row count
+    and byte budget.  A failed 100 TB run re-reads this manifest and
+    skips finished shards.  Per-batch combine first (num_shards rows per
+    batch through the exchange), one tiny groupby after."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (
+            (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ) % np.uint64(num_shards)
+        t = pa.table(
+            {
+                "shard": shard.astype(np.int64),
+                "n_docs": np.ones(len(batch), dtype=np.int64),
+                "total_chars": pc.cast(batch["n_chars"], pa.int64()),
+            }
+        )
+        return t.group_by("shard").aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")]
+        )
+
+    return (
+        docs.select_columns(["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .rename_columns({"n_docs_sum": "n_docs", "total_chars_sum": "total_chars"})
+        .groupby("shard")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_chars", alias_name="total_chars"))
+        .sort("shard")
+    )

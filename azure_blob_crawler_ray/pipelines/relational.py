@@ -949,3 +949,184 @@ def range_join(
         return out.append_column(id_col, pa.array(ids_[pos[ok]]))
 
     return facts.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def latest_event_per_user(
+    events: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Keep-newest dedup by key — the "latest version wins" operator a
+    100 TB ingest loop runs constantly (re-crawled URL supersedes the old
+    row; reference upserts achieve this via the search index, SURVEY.md
+    §2.3).  For each user: the event with the greatest (ts, event_id).
+
+    Shape: per-batch combine first (one candidate row per user per
+    batch), then ONE shuffle on a coarse hash bucket of user_id and a
+    vectorized take-last per user inside the bucket — never a per-user
+    ``map_groups`` call, never raw rows through the exchange.  Ties on
+    ts break by event_id, so the result is execution-order independent."""
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        last = np.r_[uid[1:] != uid[:-1], True]
+        return df[last]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "ts": batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        )
+        df = local_latest(df)
+        uid = df["user_id"].to_numpy().astype(np.uint64)
+        df["bucket"] = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = local_latest(df)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "last_event_id": df["event_id"].to_numpy(),
+                "last_ts_us": df["ts"].to_numpy(),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def nation_balance(
+    customer: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """FULL OUTER join of two aggregates — customer and supplier account
+    totals side by side per nation, nations missing from either side
+    showing zero.  Expressed shuffle-free as aggregate-union-aggregate:
+    each side pre-aggregates to (nationkey, n, cents) per batch, the two
+    tiny keyed aggregates union and re-aggregate (sum treats the missing
+    side as 0 — exactly outer-join-with-COALESCE semantics), and the
+    25-row nation dim is a broadcast lookup.  No row table ever moves."""
+
+    def side(ds, key, bal, n_out, cents_out):
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(batch[bal], 100.0), 0.5)), pa.int64()
+            )
+            t = pa.table(
+                {
+                    "n_nationkey": pc.cast(batch[key], pa.int32()),
+                    n_out: pa.array(np.ones(len(batch), dtype=np.int64)),
+                    cents_out: cents,
+                    # the other side's columns, zero-filled so the union aligns
+                    **{
+                        c: pa.array(np.zeros(len(batch), dtype=np.int64))
+                        for c in ALL
+                        if c not in (n_out, cents_out)
+                    },
+                }
+            )
+            return t.group_by("n_nationkey").aggregate([(c, "sum") for c in ALL])
+
+        return ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).rename_columns({f"{c}_sum": c for c in ALL})
+
+    ALL = ("n_customers", "cust_cents", "n_suppliers", "supp_cents")
+    cust = side(customer, "c_nationkey", "c_acctbal", "n_customers", "cust_cents")
+    supp = side(supplier, "s_nationkey", "s_acctbal", "n_suppliers", "supp_cents")
+
+    names = {
+        int(k): v
+        for k, v in zip(
+            *(
+                nation.to_pandas()[c].tolist()
+                for c in ("n_nationkey", "n_name")
+            )
+        )
+    }
+    ref = ray.put(names)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        keys = batch["n_nationkey"].to_pylist()
+        out = {"n_name": pa.array([lut[k] for k in keys])}
+        for c in ALL:
+            out[c] = batch[f"sum({c})"]
+        return pa.table(out)
+
+    return (
+        cust.union(supp)
+        .groupby("n_nationkey")
+        .aggregate(*[Sum(c) for c in ALL])
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("n_name")
+    )
+
+
+def events_hopping(
+    events: ray.data.Dataset,
+    *,
+    size_days: int = 2,
+    hop_days: int = 1,
+) -> ray.data.Dataset:
+    """Hopping (sliding) time windows — each event lands in
+    ``size/hop`` overlapping windows; emitted per window: event count and
+    value total in integer cents.  The streaming-window shape Ray Data
+    has no primitive for: replicate each row to its windows inside
+    ``map_batches`` (numpy tile, no Python loop), pre-aggregate per
+    batch, then one tiny day-keyed shuffle.  Window key is the epoch-day
+    of the window start — integer, so conformance hashes exactly."""
+    if size_days % hop_days:
+        raise ValueError("size_days must be a multiple of hop_days")
+    n_win = size_days // hop_days
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // day_us
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        wd = np.repeat(day, n_win) - np.tile(
+            np.arange(n_win, dtype=np.int64) * hop_days, len(day)
+        )
+        t = pa.table(
+            {
+                "window_day": wd,
+                "n_events": np.ones(len(wd), dtype=np.int64),
+                "cents": np.tile(cents.reshape(-1, 1), (1, n_win)).reshape(-1),
+            }
+        )
+        return t.group_by("window_day").aggregate(
+            [("n_events", "sum"), ("cents", "sum")]
+        )
+
+    return (
+        events.select_columns(["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .rename_columns({"n_events_sum": "n_events", "cents_sum": "cents"})
+        .groupby("window_day")
+        .aggregate(Sum("n_events"), Sum("cents"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "window_day": b["window_day"],
+                    "n_events": b["sum(n_events)"],
+                    "cents": b["sum(cents)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("window_day")
+    )

@@ -376,3 +376,63 @@ def lsh_near_dup_pairs(
         .groupby("pbucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def label_centroids(emb: ray.data.Dataset, *, scale_bits: int = 20) -> ray.data.Dataset:
+    """Per-label embedding centroid components — the vector AGGREGATE
+    (class prototypes / IVF training stats / cluster means) the ANN
+    family builds on.  Returns one row per (label, 1-based position):
+    the exact integer sum of floor(v * 2**scale_bits) plus the vector
+    count — integer arithmetic end to end, so the result is
+    association-order independent and hashes exactly against any engine
+    (a float mean would differ by summation order).  The power-of-two
+    scale keeps float32->float64*2^k exact, so floor() agrees bit-for-bit
+    with the SQL oracle.
+
+    Scale shape: the per-batch combiner reduces each batch to
+    (labels-in-batch × dim) partial rows keyed by one packed int64
+    (label * 4096 + pos) — a single-key groupby over a tiny uniform key
+    space, never raw vectors through the exchange."""
+    scale = np.float64(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        q = np.floor(m.astype(np.float64) * scale).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        if d >= 4096:
+            raise ValueError("packed key assumes dim < 4096")
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        key = (uniq[:, None] * 4096 + np.arange(1, d + 1)).reshape(-1)
+        return pa.table(
+            {
+                "key": key,
+                "sum_q": sums.reshape(-1),
+                "n_vals": np.repeat(counts, d),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": (key // 4096).astype(np.int64),
+                "pos": (key % 4096).astype(np.int64),
+                "sum_q": batch["sum_q"],
+                "n_vals": batch["n_vals"],
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        emb.select_columns(["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(_Sum("sum_q", alias_name="sum_q"), _Sum("n_vals", alias_name="n_vals"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["label", "pos"])
+    )

@@ -1,0 +1,156 @@
+"""Keep-latest dedup, full-outer aggregate join, hopping windows,
+bigram counts, decontamination, shard manifest and label centroids vs
+brute-force pandas/numpy oracles at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.pipelines import dataprep, relational, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def events_ds():
+    return ray.data.read_parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_latest_event_per_user(events_ds, events_pd):
+    got = relational.latest_event_per_user(events_ds).to_pandas()
+    df = events_pd.sort_values(["ts", "event_id"], kind="mergesort")
+    want = df.groupby("user_id").last()
+    assert got["user_id"].tolist() == sorted(want.index.tolist())
+    assert dict(zip(got["user_id"], got["last_event_id"])) == want["event_id"].to_dict()
+    assert (
+        dict(zip(got["user_id"], got["last_ts_us"]))
+        == want["ts"].astype("int64").to_dict()
+    )
+
+
+def test_latest_event_partitioning_invariant(events_ds):
+    a = relational.latest_event_per_user(events_ds).to_pandas()
+    b = relational.latest_event_per_user(
+        events_ds.repartition(7), num_buckets=5
+    ).to_pandas()
+    assert a.equals(b)
+
+
+def test_nation_balance_full_outer():
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet")
+    supp = ray.data.read_parquet(f"{SF}/supplier.parquet")
+    nation = ray.data.read_parquet(f"{SF}/nation.parquet")
+    got = relational.nation_balance(cust, supp, nation).to_pandas()
+    c = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    s = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    n = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    cents = lambda v: np.floor(v * 100.0 + 0.5).astype(np.int64)  # noqa: E731
+    ca = c.assign(cents=cents(c["c_acctbal"])).groupby("c_nationkey").agg(
+        n_customers=("c_custkey", "size"), cust_cents=("cents", "sum")
+    )
+    sa = s.assign(cents=cents(s["s_acctbal"])).groupby("s_nationkey").agg(
+        n_suppliers=("s_suppkey", "size"), supp_cents=("cents", "sum")
+    )
+    keys = sorted(set(ca.index) | set(sa.index))
+    assert len(got) == len(keys)
+    by_name = got.set_index("n_name")
+    names = n.set_index("n_nationkey")["n_name"]
+    for k in keys:
+        row = by_name.loc[names[k]]
+        assert row["n_customers"] == (ca["n_customers"].get(k, 0))
+        assert row["cust_cents"] == (ca["cust_cents"].get(k, 0))
+        assert row["n_suppliers"] == (sa["n_suppliers"].get(k, 0))
+        assert row["supp_cents"] == (sa["supp_cents"].get(k, 0))
+
+
+def test_events_hopping_covers_each_event_twice(events_ds, events_pd):
+    got = relational.events_hopping(events_ds, size_days=2, hop_days=1).to_pandas()
+    assert got["n_events"].sum() == 2 * len(events_pd)
+    day = events_pd["ts"].astype("int64") // 86_400_000_000
+    cents = np.floor(events_pd["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    per_day_n = day.value_counts().to_dict()
+    per_day_c = pd.Series(cents).groupby(day.values).sum().to_dict()
+    for _, row in got.iterrows():
+        w = row["window_day"]
+        assert row["n_events"] == per_day_n.get(w, 0) + per_day_n.get(w + 1, 0)
+        assert row["cents"] == per_day_c.get(w, 0) + per_day_c.get(w + 1, 0)
+
+
+def test_bigram_counts_match_python(docs_ds, docs_pd):
+    got = dataprep.bigram_counts(docs_ds, top_k=20).to_pandas()
+    from collections import Counter
+
+    c = Counter()
+    for t in docs_pd["text"]:
+        toks = t.split()
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["bigram"], got["occurrences"])) == want
+
+
+def test_decontaminate_exact(docs_ds, docs_pd):
+    n = 20
+    got = dataprep.decontaminate(docs_ds, bench_below=20, ngram=n).to_pandas()
+    bench = {
+        t[i : i + n]
+        for t in docs_pd[docs_pd["doc_id"] < 20]["text"]
+        for i in range(len(t) - n + 1)
+    }
+    want = [
+        int(d)
+        for d, t in zip(docs_pd["doc_id"], docs_pd["text"])
+        if d >= 20
+        and not any(t[i : i + n] in bench for i in range(len(t) - n + 1))
+    ]
+    assert got["doc_id"].tolist() == sorted(want)
+
+
+def test_shard_manifest_partition_of_corpus(docs_ds, docs_pd):
+    got = dataprep.shard_manifest(docs_ds, num_shards=8).to_pandas()
+    shard = (
+        (docs_pd["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+        % np.uint64(1 << 32)
+    ) % np.uint64(8)
+    want = (
+        pd.DataFrame({"shard": shard.astype(np.int64), "n": docs_pd["n_chars"]})
+        .groupby("shard")
+        .agg(n_docs=("n", "size"), total_chars=("n", "sum"))
+    )
+    assert got["n_docs"].sum() == len(docs_pd)
+    assert dict(zip(got["shard"], got["n_docs"])) == want["n_docs"].to_dict()
+    assert dict(zip(got["shard"], got["total_chars"])) == want["total_chars"].to_dict()
+
+
+def test_label_centroids_exact_integer_sums():
+    emb_ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = similarity.label_centroids(emb_ds).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack(t["embedding"].to_numpy())
+    q = np.floor(m.astype(np.float64) * (1 << 20)).astype(np.int64)
+    labels = t["label"].to_numpy()
+    d = m.shape[1]
+    assert len(got) == len(np.unique(labels)) * d
+    for lab in np.unique(labels):
+        sub = got[got["label"] == lab].sort_values("pos")
+        assert sub["pos"].tolist() == list(range(1, d + 1))
+        assert (sub["sum_q"].to_numpy() == q[labels == lab].sum(axis=0)).all()
+        assert (sub["n_vals"] == (labels == lab).sum()).all()

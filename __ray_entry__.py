@@ -415,6 +415,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["label", "embedding"])
         )
 
+    def q_top_terms_per_lang(sf):
+        return dataprep.top_terms_per_lang(
+            _read(sf, "documents", ["lang", "text"]), k=10
+        )
+
+    def q_dedup_keep_best(sf):
+        return dataprep.dedup_keep_best(
+            _read(sf, "documents", ["doc_id", "text"]),
+            ngram=12,
+            threshold=0.5,
+            max_posting=200,
+        )
+
+    def q_media_frame_sample(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from azure_blob_crawler_ray.stages.media import frame_sample
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "media_id": batch["doc_id"],
+                    "duration_s": pa.array(
+                        (ids % 10 + 1).astype(np.float64), type=pa.float64()
+                    ),
+                }
+            )
+
+        media = _read(sf, "documents", ["doc_id"]).map_batches(
+            to_media, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def to_ms(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "frame": batch["frame"],
+                    "t_ms": pc.cast(
+                        pc.multiply(pc.cast(batch["frame"], pa.int64()), 500),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return (
+            frame_sample(media, fps=2.0)
+            .map_batches(to_ms, batch_format="pyarrow")
+            .sort(["media_id", "frame"])
+        )
+
     # ---- rows-only ops (non-SQL-expressible; driver records row counts) ----
 
     def q_minhash_lsh(sf):
@@ -564,6 +618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "shard_manifest": q_shard_manifest,
         "label_centroids": q_label_centroids,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "dedup_keep_best": q_dedup_keep_best,
+        "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -884,6 +941,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY shard ORDER BY shard
+        """,
+        "top_terms_per_lang": """
+            SELECT lang, term, occurrences, rank FROM (
+                SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS occurrences,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY COUNT(*) DESC, term) AS rank
+                FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS term
+                      FROM documents)
+                GROUP BY lang, term)
+            WHERE rank <= 10
+            ORDER BY lang, rank
+        """,
+        "dedup_keep_best": f"""
+            -- connected components over the ngram near-dup pair graph,
+            -- then keep per cluster the doc with the most words
+            -- (tie: smallest doc_id); isolated docs keep themselves
+            WITH RECURSIVE {_NGRAM_CTES}, pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.5
+            ), sym AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach(node, lab) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+            ), clusters AS (
+                SELECT node AS doc_id, MIN(lab) AS cluster_id
+                FROM reach GROUP BY node
+            ), wc AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS wc
+                FROM documents
+            ), best AS (
+                SELECT doc_id FROM (
+                    SELECT c.doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                              ORDER BY w.wc DESC, c.doc_id) AS rn
+                    FROM clusters c JOIN wc w USING (doc_id))
+                WHERE rn = 1
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
+               OR d.doc_id IN (SELECT doc_id FROM best)
+            ORDER BY d.doc_id
+        """,
+        "media_frame_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(f AS INTEGER) AS frame,
+                   CAST(f * 500 AS BIGINT) AS t_ms
+            FROM documents,
+                 LATERAL unnest(range(0, (1 + doc_id % 10) * 2)) AS t(f)
+            ORDER BY media_id, frame
         """,
         "label_centroids": """
             SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n_vals FROM (

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -1124,4 +1125,189 @@ def shard_manifest(
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("total_chars", alias_name="total_chars"))
         .sort("shard")
+    )
+
+
+def top_terms_per_lang(
+    docs: ray.data.Dataset, *, k: int = 10
+) -> ray.data.Dataset:
+    """Grouped top-k over text: the k most frequent terms per language
+    with their rank — per-language vocabulary profiles (stopword lists,
+    language-model priors) in one pass.
+
+    Shape: per-batch (lang, term) counts via one Arrow value_counts over
+    a packed "lang\\x1fterm" key (map-side combine — the shuffle carries
+    one row per distinct key per batch, never tokens), a single-key
+    groupby sum, then per-language top-k where groups number a handful —
+    the only per-group Python calls are per LANGUAGE, not per term."""
+    SEP = "\x1f"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern_regex(batch["text"], r"\s+")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        counts = pc.list_value_length(tokens).to_numpy().astype(np.int64)
+        langs = pa.array(
+            np.repeat(batch["lang"].to_numpy(zero_copy_only=False), counts)
+        )
+        flat = tokens.values
+        keyed = pc.binary_join_element_wise(langs, flat, SEP)
+        keep = pc.not_equal(flat, "")
+        vc = pc.value_counts(keyed.filter(keep))
+        return pa.table(
+            {
+                "key": vc.field("values"),
+                "occurrences": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        split = df["key"].str.split(SEP, n=1, expand=True)
+        df = pd.DataFrame(
+            {
+                "lang": split[0],
+                "term": split[1],
+                "occurrences": df["occurrences"].to_numpy(),
+            }
+        ).sort_values(
+            ["occurrences", "term"], ascending=[False, True], kind="mergesort"
+        )
+        df = df.head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    def add_lang(batch: pa.Table) -> pa.Table:
+        first = pc.split_pattern(batch["key"], SEP, max_splits=1)
+        lang = pc.list_element(first, 0)
+        return batch.append_column("lang", lang)
+
+    return (
+        docs.select_columns(["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("occurrences", alias_name="occurrences"))
+        .map_batches(add_lang, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["lang", "rank"])
+    )
+
+
+def dedup_keep_best(
+    docs: ray.data.Dataset,
+    *,
+    ngram: int = 12,
+    threshold: float = 0.5,
+    max_posting: int = 200,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cluster-level canonical selection — the step AFTER near-dup
+    detection: connected components over the exact n-gram-Jaccard pair
+    graph, then per cluster keep the doc with the most words (ties:
+    smallest doc_id); docs in no cluster keep themselves.  Returns the
+    surviving doc_ids.
+
+    Shape: cluster assignments are EDGE-sized (isolated docs never enter
+    the graph), so the member↔word-count join is a hash join over the
+    small near-dup subset; the corpus-sized step is one scan for word
+    counts and one doc_id-bucket anti-join shuffle against the loser set
+    — no corpus-sized join, no driver materialization."""
+    pairs = ngram_jaccard_pairs(
+        docs, ngram=ngram, threshold=threshold, max_posting=max_posting
+    )
+    from .graph import connected_components
+
+    cc = connected_components(pairs)  # (doc_id, cluster_id), edge-sized
+
+    def wc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "wc": pc.cast(word_count(batch["text"]), pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True)
+    members = cc.join(
+        counts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_id", "wc", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = np.r_[True, df["cluster_id"].to_numpy()[1:]
+                      != df["cluster_id"].to_numpy()[:-1]]
+        out = df.loc[~first, ["doc_id"]]
+        return out.rename(columns={"doc_id": "loser_id"})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((cid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def as_arrow(df: pd.DataFrame) -> pa.Table:
+        # typed even for zero-row stub blocks, so the join schema resolves
+        vals = df["loser_id"].to_numpy() if "loser_id" in df.columns else []
+        return pa.table({"loser_id": pa.array(vals, type=pa.int64())})
+
+    # edge-sized; materialized so the union below streams clean blocks
+    # (groupby-inside-union is the known pathological plan shape)
+    losing = (
+        members.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(losers, batch_format="pandas")
+        .map_batches(as_arrow, batch_format="pandas")
+        .materialize()
+    )
+
+    # anti-join via the coarse-bucket union pattern (native left_anti
+    # chokes on the zero-row schema-less stub blocks map_groups emits):
+    # tag both sides, one doc_id-bucket shuffle, vectorized np.isin.
+    def _idbucket(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(64)
+        ).astype(np.int32)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "is_loser": np.zeros(len(ids), dtype=np.int8),
+                "bucket": _idbucket(ids),
+            }
+        )
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        ids = batch["loser_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "is_loser": np.ones(len(ids), dtype=np.int8),
+                "bucket": _idbucket(ids),
+            }
+        )
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        flag = df["is_loser"].to_numpy()
+        dropped = ids[flag == 1]
+        keep = ids[(flag == 0) & ~np.isin(ids, dropped)]
+        return pd.DataFrame({"doc_id": keep})
+
+    tagged = (
+        docs.select_columns(["doc_id"])
+        .map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+        .union(losing.map_batches(tag_losers, batch_format="pyarrow"))
+    )
+    return (
+        tagged.groupby("bucket")
+        .map_groups(survivors, batch_format="pandas")
+        .sort("doc_id")
     )

@@ -140,3 +140,75 @@ def media_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeStage:
+    """Actor-pool resize stage: payload + decoded dims -> target-bounded
+    dims + a deterministically subsampled payload (the byte-level stand-in
+    for pixel resampling, which sits behind the codec seam like
+    ``DeterministicFakeCodec.pixels``).  Aspect ratio is preserved; the
+    output payload shrinks by the same area factor, so downstream batch
+    sizing sees realistic post-resize byte volumes.  Payloads are mutated,
+    never accumulated — one batch in flight per actor."""
+
+    def __init__(
+        self,
+        max_side: int = 256,
+        decode_fn: Optional[Callable] = None,
+    ):
+        self.codec = DeterministicFakeCodec()
+        self.decode_fn = decode_fn
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        hs, ws, outs = [], [], []
+        for p in payloads:
+            p = p or b""
+            h, w, _c = self.codec.decode_meta(p)
+            scale = min(1.0, self.max_side / max(h, w, 1))
+            nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+            stride = max(1, int(round(1.0 / max(scale * scale, 1e-9))))
+            hs.append(nh)
+            ws.append(nw)
+            outs.append(p[::stride] if scale < 1.0 else p)
+        keep = [c for c in batch.column_names if c != "payload"]
+        out = batch.select(keep)
+        out = out.append_column("height", pa.array(hs, type=pa.int32()))
+        out = out.append_column("width", pa.array(ws, type=pa.int32()))
+        out = out.append_column("payload", pa.array(outs, type=pa.large_binary()))
+        return out
+
+
+def media_resize(
+    ds: ray.data.Dataset,
+    *,
+    max_side: int = 256,
+    batch_size: int = 32,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """payload-bearing rows -> aspect-preserving bounded-size rows."""
+    return ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(
+    ds: ray.data.Dataset,
+    *,
+    fps: float = 1.0,
+    batch_size: int = 256,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """(media_id, duration_s) rows -> one row per sampled frame."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"fps": fps},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

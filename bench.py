@@ -165,6 +165,11 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "window_totals",
         "price_quantiles",
         "bm25_search",
+        "latest_event_per_user",
+        "events_hopping",
+        "bigram_counts",
+        "decontaminate",
+        "label_centroids",
     ]
     out = {}
     for name in names:

@@ -154,3 +154,98 @@ def test_label_centroids_exact_integer_sums():
         assert sub["pos"].tolist() == list(range(1, d + 1))
         assert (sub["sum_q"].to_numpy() == q[labels == lab].sum(axis=0)).all()
         assert (sub["n_vals"] == (labels == lab).sum()).all()
+
+
+def test_top_terms_per_lang(docs_ds, docs_pd):
+    from collections import Counter
+
+    got = dataprep.top_terms_per_lang(docs_ds, k=5).to_pandas()
+    for lang, g in docs_pd.groupby("lang"):
+        c = Counter()
+        for t in g["text"]:
+            c.update(t.split())
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        sub = got[got["lang"] == lang].sort_values("rank")
+        assert list(zip(sub["term"], sub["occurrences"])) == want
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_dedup_keep_best_keeps_best_per_cluster(docs_ds, docs_pd):
+    from azure_blob_crawler_ray.pipelines.graph import connected_components
+
+    kept = set(
+        dataprep.dedup_keep_best(docs_ds, ngram=12, threshold=0.5, max_posting=200)
+        .to_pandas()["doc_id"]
+    )
+    pairs = dataprep.ngram_jaccard_pairs(
+        docs_ds, ngram=12, threshold=0.5, max_posting=200
+    )
+    cc = connected_components(pairs).to_pandas()
+    wc = dict(zip(docs_pd["doc_id"], docs_pd["text"].str.split().str.len()))
+    members = set(cc["doc_id"])
+    # isolated docs all kept
+    for d in docs_pd["doc_id"]:
+        if d not in members:
+            assert d in kept
+    # exactly one survivor per cluster: the max-wc (tie: min doc_id) one
+    for cid, g in cc.groupby("cluster_id"):
+        ms = g["doc_id"].tolist()
+        best = min(ms, key=lambda d: (-wc[d], d))
+        assert set(ms) & kept == {best}
+
+
+def test_media_resize_bounds_dims_and_payload():
+    import pyarrow as pa
+
+    from azure_blob_crawler_ray.stages.media import (
+        DeterministicFakeCodec,
+        media_resize,
+    )
+
+    payloads = [bytes([i % 251 for i in range(n)]) for n in (10, 3000, 90000)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1, 2], type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+    )
+    out = media_resize(ds, max_side=64).to_pandas().sort_values("media_id")
+    codec = DeterministicFakeCodec()
+    assert list(out.columns) == ["media_id", "height", "width", "payload"]
+    for (_, row), orig in zip(out.iterrows(), payloads):
+        h, w, _ = codec.decode_meta(orig)
+        assert max(row["height"], row["width"]) <= 64
+        assert row["height"] >= 1 and row["width"] >= 1
+        # aspect preserved within integer truncation
+        if max(h, w) > 64:
+            assert len(row["payload"]) <= len(orig)
+        else:
+            assert bytes(row["payload"]) == orig
+    # deterministic
+    again = media_resize(ds, max_side=64).to_pandas().sort_values("media_id")
+    assert [bytes(p) for p in again["payload"]] == [
+        bytes(p) for p in out["payload"]
+    ]
+
+
+def test_frame_sample_rows_per_duration():
+    import pyarrow as pa
+
+    from azure_blob_crawler_ray.stages.media import frame_sample
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([7, 8], type=pa.int64()),
+                "duration_s": pa.array([0.4, 3.0], type=pa.float64()),
+            }
+        )
+    )
+    out = frame_sample(ds, fps=2.0).to_pandas()
+    by = out.groupby("media_id")["frame"].apply(list).to_dict()
+    assert by[7] == [0]  # max(1, int(0.4*2)) = 1 frame
+    assert by[8] == [0, 1, 2, 3, 4, 5]
+    t8 = out[out["media_id"] == 8].sort_values("frame")["t_s"].tolist()
+    assert t8 == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]

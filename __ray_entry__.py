@@ -428,6 +428,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_posting=200,
         )
 
+    def q_events_cube(sf):
+        return relational.events_cube(_read(sf, "events", ["ts", "event_type"]))
+
+    def q_normalize_text(sf):
+        return dataprep.normalize_text(_read(sf, "documents", ["doc_id", "text"]))
+
     def q_media_frame_sample(sf):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -549,6 +555,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return media_features(ds, dim=32)
 
+    def q_nearest_centroid(sf):
+        return similarity.nearest_centroid(
+            _read(sf, "embeddings", ["vec_id", "label", "embedding"])
+        ).sort("vec_id")
+
+    def q_span_kind_stats(sf):
+        from azure_blob_crawler_ray.config import CrawlConfig
+        from azure_blob_crawler_ray.pipelines import spans
+        from azure_blob_crawler_ray.pipelines.crawl import read_documents, run_crawl
+
+        out = "/tmp/abc_entry_spans"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(
+            universe=600,
+            n_hosts=10,
+            max_waves=2,
+            wave_budget=150,
+            max_fetches_per_host_per_wave=32,
+            seeds_per_host=2,
+            out_dir=out,
+            emit_index=False,
+        )
+        res = run_crawl(cfg)
+        docs = ray.data.from_arrow(
+            read_documents(out, range(res.waves_run[-1] + 1)).select(
+                ["doc_id", "spans"]
+            )
+        )
+        return spans.span_kind_stats(docs)
+
     def q_crawl_order(sf):
         from azure_blob_crawler_ray.config import CrawlConfig
         from azure_blob_crawler_ray.pipelines.crawl import read_crawl_order, run_crawl
@@ -621,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": q_top_terms_per_lang,
         "dedup_keep_best": q_dedup_keep_best,
         "media_frame_sample": q_media_frame_sample,
+        "events_cube": q_events_cube,
+        "normalize_text": q_normalize_text,
         "minhash_lsh_dedup": q_minhash_lsh,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -631,6 +669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "token_count_bpe": q_token_count_bpe,
         "media_features": q_media_features,
+        "nearest_centroid": q_nearest_centroid,
+        "span_kind_stats": q_span_kind_stats,
         "crawl_order": q_crawl_order,
     }
 
@@ -990,6 +1030,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
                OR d.doc_id IN (SELECT doc_id FROM best)
             ORDER BY d.doc_id
+        """,
+        "events_cube": """
+            SELECT COALESCE(d, 'ALL') AS day,
+                   COALESCE(et, 'ALL') AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS event_count
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type AS et
+                  FROM events)
+            GROUP BY CUBE(d, et)
+            ORDER BY day, event_type
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[.!?,;:]', '', 'g'),
+                       '\\s+', ' ', 'g')) AS norm
+            FROM documents
         """,
         "media_frame_sample": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -1311,3 +1311,21 @@ def dedup_keep_best(
         .map_groups(survivors, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+def normalize_text(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Text canonicalization — the pre-tokenization cleanup pass every
+    corpus pipeline runs before hashing/shingling: lowercase, strip
+    sentence punctuation, collapse whitespace runs, trim.  Pure Arrow
+    kernels (both Arrow and the SQL oracle compile these regexes with
+    RE2, so the semantics match engine-for-engine); no shuffle — a
+    stateless streaming map."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(batch["text"])
+        s = pc.replace_substring_regex(s, pattern=r"[.!?,;:]", replacement="")
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"doc_id": batch["doc_id"], "norm": s})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

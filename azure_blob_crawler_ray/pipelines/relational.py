@@ -1130,3 +1130,65 @@ def events_hopping(
         )
         .sort("window_day")
     )
+
+
+def events_cube(events: ray.data.Dataset) -> ray.data.Dataset:
+    """CUBE(day, event_type): all four grouping sets — (day, type),
+    (day), (type) and grand total — coarser levels labeled 'ALL'.  Same
+    shape as ``events_rollup``: one shuffle of the raw table into the
+    finest aggregate, every coarser level re-aggregated from the tiny
+    (days × types) result."""
+    fine = (
+        events.map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                    "event_type": b["event_type"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="event_count"))
+        .materialize()  # (days x types) rows; feeds all four levels
+    )
+    per_day = (
+        fine.groupby("day")
+        .aggregate(Sum("event_count", alias_name="event_count"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": b["day"],
+                    "event_type": pa.array(["ALL"] * b.num_rows),
+                    "event_count": b["event_count"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    per_type = (
+        fine.groupby("event_type")
+        .aggregate(Sum("event_count", alias_name="event_count"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(["ALL"] * b.num_rows),
+                    "event_type": b["event_type"],
+                    "event_count": b["event_count"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    tot = fine.aggregate(Sum("event_count"))
+    total = ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(["ALL"]),
+                "event_type": pa.array(["ALL"]),
+                "event_count": pa.array([int(tot["sum(event_count)"])]),
+            }
+        )
+    )
+    return fine.union(per_day, per_type, total).sort(["day", "event_type"])

@@ -436,3 +436,41 @@ def label_centroids(emb: ray.data.Dataset, *, scale_bits: int = 20) -> ray.data.
         .map_batches(finish, batch_format="pyarrow")
         .sort(["label", "pos"])
     )
+
+
+def nearest_centroid(
+    emb: ray.data.Dataset, *, scale_bits: int = 20
+) -> ray.data.Dataset:
+    """Assign every vector to its nearest per-label centroid by cosine —
+    the IVF list-assignment / prototype-classification step as a
+    standalone operator.  Centroids come from ``label_centroids``'s exact
+    integer sums (labels × dim rows — a DRIVER-SMALL aggregate by
+    construction), are normalized once and broadcast via ``ray.put``;
+    each batch then does one matmul against the broadcast matrix.  Ties
+    break toward the smallest label, so assignment is deterministic."""
+    cent = label_centroids(emb, scale_bits=scale_bits).to_pandas()
+    labels = np.sort(cent["label"].unique())
+    d = int(cent["pos"].max())
+    C = np.zeros((len(labels), d), dtype=np.float64)
+    for i, lab in enumerate(labels):
+        sub = cent[cent["label"] == lab].sort_values("pos")
+        C[i] = sub["sum_q"].to_numpy() / sub["n_vals"].to_numpy()
+    C = _normalize(C)
+    ref = ray.put((C, labels.astype(np.int64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_, labels_ = ray.get(ref)
+        m = _normalize(_emb_matrix(batch).astype(np.float64))
+        scores = m @ C_.T
+        # ties -> smallest label: argmax returns the FIRST maximum and
+        # labels_ is sorted ascending
+        best = labels_[np.argmax(scores, axis=1)]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "label": batch["label"],
+                "assigned": pa.array(best, type=pa.int64()),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

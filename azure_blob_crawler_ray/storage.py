@@ -97,3 +97,87 @@ def write_json(obj, path: str) -> None:
 def read_json(path: str):
     with open(path) as f:
         return json.load(f)
+
+
+def shard_path(uri: str, shard: int) -> str:
+    # NOT key=value naming: Ray's parquet reader would infer hive
+    # partition columns from the path and poison the schema
+    return os.path.join(uri, f"shard-{shard:04d}")
+
+
+def write_sharded(
+    ds: ray.data.Dataset,
+    uri: str,
+    *,
+    shard_col: str,
+    num_shards: int,
+) -> dict:
+    """Resumable partitioned write: one directory per shard value in
+    [0, num_shards), each committed with a ``_SUCCESS`` marker once the
+    full input stream has been consumed.  A re-run after a crash SKIPS
+    completed shards — their rows are dropped AT THE SCAN by a
+    vectorized shard-mask filter, so finished work costs one predicate,
+    not a rewrite — and any uncommitted shard directory is cleaned and
+    rewritten.  Returns {"written": [...], "skipped": [...]}.
+
+    The write itself is one streaming ``map_batches`` pass: each task
+    splits its batch by shard id and appends a uniquely-named parquet
+    part file to each touched shard directory (concurrent appends to
+    the same directory are safe — names never collide), so no shuffle
+    is needed to co-locate shard rows.  Markers are written only after
+    the pass finishes; a crash mid-pass leaves markerless directories
+    that the next run redoes.  Requires storage shared across workers
+    (same assumption as ``Dataset.write_parquet``)."""
+    import uuid
+
+    import numpy as np
+
+    os.makedirs(uri, exist_ok=True)
+    skipped = [s for s in range(num_shards) if is_complete(shard_path(uri, s))]
+    todo = [s for s in range(num_shards) if s not in skipped]
+    for s in todo:  # clean partial leftovers from a crashed run
+        if os.path.exists(shard_path(uri, s)):
+            shutil.rmtree(shard_path(uri, s))
+        os.makedirs(shard_path(uri, s))
+    if not todo:
+        return {"written": [], "skipped": skipped}
+
+    todo_arr = np.array(todo, dtype=np.int64)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        shards = batch[shard_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(skipped):
+            keep = np.isin(shards, todo_arr)
+            batch, shards = batch.filter(pa.array(keep)), shards[keep]
+        counts = []
+        for s in np.unique(shards):
+            sub = batch.filter(pa.array(shards == s))
+            pq.write_table(
+                sub, os.path.join(shard_path(uri, int(s)), f"part-{uuid.uuid4().hex}.parquet")
+            )
+            counts.append((int(s), sub.num_rows))
+        return pa.table(
+            {
+                "shard": pa.array([c[0] for c in counts], type=pa.int64()),
+                "rows": pa.array([c[1] for c in counts], type=pa.int64()),
+            }
+        )
+
+    # consume the full stream (tiny per-batch count rows), THEN commit
+    ds.map_batches(write_batch, batch_format="pyarrow").materialize()
+    for s in todo:
+        with open(os.path.join(shard_path(uri, s), "_SUCCESS"), "w") as f:
+            f.write("{}")
+    return {"written": todo, "skipped": skipped}
+
+
+def read_sharded(
+    uri: str, *, columns: Optional[list[str]] = None
+) -> ray.data.Dataset:
+    """Read back every COMMITTED shard of a ``write_sharded`` layout."""
+    dirs = sorted(
+        os.path.join(uri, d)
+        for d in os.listdir(uri)
+        if d.startswith("shard-") and is_complete(os.path.join(uri, d))
+    )
+    return ray.data.read_parquet(dirs, columns=columns, file_extensions=["parquet"])

@@ -61,3 +61,46 @@ def test_write_arrow_atomic(tmp_path):
     assert read_table_arrow(uri).equals(t)
     write_arrow(pa.table({"x": [2]}), uri)
     assert read_table_arrow(uri)["x"].to_pylist() == [2]
+
+
+def test_write_sharded_resume_skips_completed(tmp_path):
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.storage import (
+        is_complete,
+        read_sharded,
+        shard_path,
+        write_sharded,
+    )
+
+    out = str(tmp_path / "sharded")
+    n, k = 200, 8
+    ids = np.arange(n, dtype=np.int64)
+    t1 = pa.table({"doc_id": ids, "shard": ids % k, "v": np.full(n, 1, dtype=np.int64)})
+    res1 = write_sharded(ray.data.from_arrow(t1), out, shard_col="shard", num_shards=k)
+    assert res1 == {"written": list(range(k)), "skipped": []}
+    assert all(is_complete(shard_path(out, s)) for s in range(k))
+
+    # simulate a crash that lost shard 3 mid-write: drop its marker
+    os.remove(os.path.join(shard_path(out, 3), "_SUCCESS"))
+
+    # resume with DIFFERENT payload: only shard 3 may be rewritten
+    t2 = pa.table({"doc_id": ids, "shard": ids % k, "v": np.full(n, 2, dtype=np.int64)})
+    res2 = write_sharded(ray.data.from_arrow(t2), out, shard_col="shard", num_shards=k)
+    assert res2 == {"written": [3], "skipped": [s for s in range(k) if s != 3]}
+
+    back = read_sharded(out).to_pandas().sort_values("doc_id")
+    assert len(back) == n
+    # shard 3 rows carry the new payload, every other shard the old one
+    assert (back.loc[back["shard"] == 3, "v"] == 2).all()
+    assert (back.loc[back["shard"] != 3, "v"] == 1).all()
+
+    # fully-complete layout: a third run touches nothing
+    res3 = write_sharded(ray.data.from_arrow(t1), out, shard_col="shard", num_shards=k)
+    assert res3 == {"written": [], "skipped": list(range(k))}
+    shutil.rmtree(out)

@@ -249,3 +249,24 @@ def test_frame_sample_rows_per_duration():
     assert by[8] == [0, 1, 2, 3, 4, 5]
     t8 = out[out["media_id"] == 8].sort_values("frame")["t_s"].tolist()
     assert t8 == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+
+
+def test_events_cube_levels(events_ds, events_pd):
+    got = relational.events_cube(events_ds).to_pandas()
+    total = got[(got["day"] == "ALL") & (got["event_type"] == "ALL")]
+    assert total["event_count"].tolist() == [len(events_pd)]
+    per_type = got[(got["day"] == "ALL") & (got["event_type"] != "ALL")]
+    want = events_pd["event_type"].value_counts().to_dict()
+    assert dict(zip(per_type["event_type"], per_type["event_count"])) == want
+    fine = got[(got["day"] != "ALL") & (got["event_type"] != "ALL")]
+    assert fine["event_count"].sum() == len(events_pd)
+
+
+def test_normalize_text_canonical(docs_ds, docs_pd):
+    import re
+
+    got = dataprep.normalize_text(docs_ds).to_pandas()
+    lut = dict(zip(got["doc_id"], got["norm"]))
+    for d, t in zip(docs_pd["doc_id"], docs_pd["text"]):
+        want = re.sub(r"\s+", " ", re.sub(r"[.!?,;:]", "", t.lower())).strip()
+        assert lut[d] == want

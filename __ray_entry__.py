@@ -1064,6 +1064,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings)
             GROUP BY label, pos ORDER BY label, pos
         """,
+        # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
+        # despite float scoring: assigned labels are integers and the
+        # measured sf0.01 margin between best and runner-up is >=1.1e-4,
+        # ~10 orders above double rounding noise.  Centroid means reuse the
+        # exact integer sums of label_centroids (scale cancels in argmax).
+        "nearest_centroid": """
+            WITH ex AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT label AS clabel, pos,
+                       SUM(FLOOR(v * 1048576.0)) / COUNT(*) AS c
+                FROM ex GROUP BY label, pos
+            ), cnorm AS (
+                SELECT clabel, pos,
+                       c / SQRT(SUM(c*c) OVER (PARTITION BY clabel)) AS cn
+                FROM cent
+            ), scores AS (
+                SELECT ex.vec_id, ex.label, cnorm.clabel,
+                       SUM(ex.v * cnorm.cn) AS score
+                FROM ex JOIN cnorm ON ex.pos = cnorm.pos
+                GROUP BY ex.vec_id, ex.label, cnorm.clabel
+            ), ranked AS (
+                SELECT vec_id, label, CAST(clabel AS BIGINT) AS assigned,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, clabel ASC) AS rn
+                FROM scores
+            )
+            SELECT vec_id, label, assigned FROM ranked
+            WHERE rn = 1 ORDER BY vec_id
+        """,
         "length_stats": """
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(MIN(n_chars) AS BIGINT) AS min_chars,

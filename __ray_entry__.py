@@ -245,6 +245,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_id", "ts", "value"])
         )
 
+    def q_shipping_priority(sf):
+        return relational.shipping_priority(
+            _read(sf, "customer", ["c_custkey", "c_mktsegment"]),
+            _read(
+                sf,
+                "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            ),
+            _read(sf, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        )
+
+    def q_user_type_sets(sf):
+        return relational.user_type_sets(
+            _read(sf, "events", ["user_id", "event_type"])
+        )
+
+    def q_moving_avg(sf):
+        return relational.moving_avg_per_user(
+            _read(sf, "events", ["user_id", "event_id", "ts", "value"])
+        )
+
+    def q_length_histogram(sf):
+        return dataprep.length_histogram(_read(sf, "documents", ["n_chars"]))
+
+    def q_group_zscore(sf):
+        return dataprep.group_zscore(
+            _read(sf, "documents", ["doc_id", "lang", "n_chars"])
+        )
+
+    def q_tfidf_top_terms(sf):
+        return dataprep.tfidf_top_terms(_read(sf, "documents", ["doc_id", "text"]))
+
     def q_anti_join(sf):
         return relational.customers_without_orders(
             _read(sf, "customer", ["c_custkey", "c_name"]),
@@ -672,6 +704,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_centroid": q_nearest_centroid,
         "span_kind_stats": q_span_kind_stats,
         "crawl_order": q_crawl_order,
+        "shipping_priority": q_shipping_priority,
+        "user_type_sets": q_user_type_sets,
+        "moving_avg": q_moving_avg,
+        "length_histogram": q_length_histogram,
+        "group_zscore": q_group_zscore,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1063,6 +1101,87 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS q
                 FROM embeddings)
             GROUP BY label, pos ORDER BY label, pos
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "user_type_sets": """
+            WITH f AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_a,
+                       MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_b
+                FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CASE WHEN has_b = 1 THEN 'both' ELSE 'a_only' END AS membership
+            FROM f WHERE has_a = 1 ORDER BY user_id
+        """,
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg
+            FROM events ORDER BY user_id, event_id
+        """,
+        "length_histogram": """
+            SELECT CAST((n_chars // 200) * 200 AS BIGINT) AS bucket_lo,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        # z = (x - s/n) / sqrt(ss/n - (s/n)^2), written EXACTLY as the
+        # engine computes it from exact integer s/ss/n so the doubles
+        # agree bit-for-bit before the 6-decimal round.
+        "group_zscore": """
+            WITH st AS (
+                SELECT lang,
+                       CAST(SUM(n_chars) AS DOUBLE) AS s,
+                       CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ss,
+                       CAST(COUNT(*) AS DOUBLE) AS n
+                FROM documents GROUP BY lang)
+            SELECT doc_id, d.lang,
+                   ROUND(CASE WHEN SQRT(ss/n - (s/n)*(s/n)) > 0
+                              THEN (CAST(n_chars AS DOUBLE) - s/n)
+                                   / SQRT(ss/n - (s/n)*(s/n))
+                              ELSE 0.0 END, 6) AS zscore
+            FROM documents d JOIN st USING (lang) ORDER BY doc_id
+        """,
+        # Rank compares the ROUNDED score then term, mirroring the engine,
+        # so last-ulp libm ln() differences cannot reorder the top-k.
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, term),
+            df AS (
+                SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY term),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND(tf.tf * LN(n.n / df.df), 6) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+            ranked AS (
+                SELECT doc_id, term, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC) AS rn
+                FROM scored)
+            SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+            ORDER BY doc_id, term
         """,
         # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
         # despite float scoring: assigned labels are integers and the

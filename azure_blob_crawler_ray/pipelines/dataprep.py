@@ -1329,3 +1329,206 @@ def normalize_text(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"doc_id": batch["doc_id"], "norm": s})
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_histogram(
+    docs: ray.data.Dataset, *, bin_width: int = 200
+) -> ray.data.Dataset:
+    """Fixed-width histogram of document length (the profiling pass a
+    curation pipeline runs before choosing length filters): one row per
+    occupied ``bin_width``-char bucket with doc count and min/max.
+
+    Shape: pure map-side combine — each batch collapses to (buckets in
+    batch) rows before the groupby, so the shuffle moves O(buckets ×
+    blocks) rows regardless of corpus size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy().astype(np.int64)
+        b = n // bin_width
+        uniq, inv = np.unique(b, return_inverse=True)
+        cnt = np.bincount(inv)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, inv, n)
+        np.maximum.at(mx, inv, n)
+        return pa.table(
+            {
+                "bucket_lo": uniq * bin_width,
+                "n_docs": cnt.astype(np.int64),
+                "min_chars": mn,
+                "max_chars": mx,
+            }
+        )
+
+    return (
+        docs.select_columns(["n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket_lo")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+        .sort("bucket_lo")
+    )
+
+
+def group_zscore(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-group standardization — z-score of n_chars within each lang
+    (the grouped-normalization step feature pipelines need before
+    mixing heterogeneous sources).
+
+    Shape: two passes, both cheap — (1) one groupby over per-batch
+    integer partials (sum, sum-of-squares, count: exact, order
+    independent) producing a LANGUAGES-sized table that is broadcast via
+    ``ray.put``; (2) a map-only pass computes z per row.  The float
+    formula is fixed as (x - s/n) / sqrt(ss/n - (s/n)^2) from exact
+    integer s/ss/n, so any engine reproduces it bit-for-bit (sqrt and
+    the divisions are IEEE-correctly-rounded)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "lang": batch["lang"],
+                "s": batch["n_chars"],
+                "ss": pc.multiply(batch["n_chars"], batch["n_chars"]),
+            }
+        ).to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            s=("s", "sum"), ss=("ss", "sum"), n=("s", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        docs.select_columns(["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    s = stats["s"].to_numpy().astype(np.float64)
+    ss = stats["ss"].to_numpy().astype(np.float64)
+    n = stats["n"].to_numpy().astype(np.float64)
+    mean = s / n
+    sd = np.sqrt(ss / n - mean * mean)
+    lut = pd.DataFrame({"lang": stats["lang"], "mean": mean, "sd": sd})
+    ref = ray.put(lut)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        df = batch.to_pandas().merge(lk, on="lang", how="left")
+        x = df["n_chars"].to_numpy().astype(np.float64)
+        sd_ = df["sd"].to_numpy()
+        z = np.where(sd_ > 0, (x - df["mean"].to_numpy()) / sd_, 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "lang": pa.array(df["lang"]),
+                "zscore": pa.array(np.round(z, 6)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "lang", "n_chars"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset, *, k: int = 5, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-document top-k terms by TF-IDF (tf × ln(N/df)) — the classic
+    keyword-extraction / relevance-weighting operator over a corpus.
+
+    Shape: (1) one tokenization pass emits per-batch (doc, term, tf)
+    partials; (2) document frequency is a groupby over per-batch
+    DISTINCT (term, doc) rows reduced map-side to (term, partial-df) —
+    word-level vocabulary is bounded (Heaps' law), so the resulting df
+    table broadcasts via ``ray.put``; (3) scores are computed map-side
+    and per-doc top-k uses the coarse-bucket idiom (hash(doc) %
+    num_buckets shuffle, vectorized rank inside the bucket).  Ranking
+    compares ROUND(score, 6) then term, so ordering is reproducible
+    across engines despite last-ulp libm differences."""
+    n_docs = float(docs.count())
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern_regex(batch["text"], r"\s+")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        counts = pc.list_value_length(tokens).to_numpy().astype(np.int64)
+        dids = np.repeat(batch["doc_id"].to_numpy(), counts)
+        flat = tokens.values
+        keep = pc.not_equal(flat, "")
+        pairs = (
+            pa.table({"doc_id": pa.array(dids), "term": flat})
+            .filter(keep)
+            .to_pandas()
+        )
+        g = (
+            pairs.groupby(["doc_id", "term"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        g["tf"] = g["tf"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_tf, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # rows are already distinct per (doc, term): count docs per term
+        vc = pc.value_counts(batch["term"])
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "df": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    idf = dict(zip(df_tbl["term"], np.log(n_docs / df_tbl["df"].to_numpy())))
+    ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        tfs = batch["tf"].to_numpy().astype(np.float64)
+        idf_col = pd.Series(batch["term"].to_pandas()).map(lk).to_numpy()
+        scores = np.round(tfs * idf_col, 6)
+        uid = batch["doc_id"].to_numpy().astype(np.uint64)
+        bucket = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "term": batch["term"],
+                "tfidf": pa.array(scores),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "tfidf", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = df.groupby("doc_id").cumcount()
+        out = df[rank < k]
+        return out[["doc_id", "term", "tfidf"]]
+
+    return (
+        tf.map_batches(score, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["doc_id", "term"])
+    )

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 
 def _round2(col: pa.Array) -> pa.Array:
@@ -1192,3 +1192,225 @@ def events_cube(events: ray.data.Dataset) -> ray.data.Dataset:
         )
     )
     return fine.union(per_day, per_type, total).sort(["day", "event_type"])
+
+
+def shipping_priority(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """TPC-H Q3-shaped three-table pipeline: customers of one market
+    segment, their orders placed before ``cutoff``, revenue from line
+    items shipped after ``cutoff``; top-k open orders by revenue.
+
+    Scale shape: the dimension hop (customer -> orders) is a broadcast
+    SEMI-join — only the custkey set of one segment (1/5 of a dimension
+    table) ships via ``ray.put``, never the fact table.  The fact-fact
+    hop (orders -> lineitem) is the native distributed hash join on
+    o_orderkey, with BOTH sides pre-filtered at the scan (date predicates
+    prune before any shuffle) and lineitem projected to 3 columns.  The
+    top-k sorts the post-aggregate (one row per surviving order), never
+    raw line items."""
+    seg_keys = customer.filter(
+        expr=f"c_mktsegment == '{segment}'"
+    ).select_columns(["c_custkey"]).to_pandas()
+    keyset = frozenset(seg_keys["c_custkey"].astype(int).tolist())
+    ref = ray.put(keyset)
+
+    def in_segment(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        keep = np.fromiter(
+            (int(c) in ks for c in batch["o_custkey"].to_numpy()),
+            dtype=bool,
+            count=batch.num_rows,
+        )
+        return batch.filter(pa.array(keep))
+
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"), type=pa.timestamp("us"))
+
+    def before_cutoff(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"], cutoff_ts))
+
+    def after_cutoff(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["l_shipdate"], cutoff_ts)).drop_columns(
+            ["l_shipdate"]
+        )
+
+    open_orders = (
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        )
+        .map_batches(before_cutoff, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(in_segment, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    shipped_late = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(after_cutoff, batch_format="pyarrow", zero_copy_batch=True)
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "key": batch["l_orderkey"],
+                "o_orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+                "o_orderpriority": batch["o_orderpriority"],
+                "part_rev": rev,
+            }
+        )
+
+    joined = shipped_late.join(
+        open_orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    # SINGLE-key groupby on purpose: o_orderdate / o_orderpriority are
+    # functionally dependent on the order key, so they ride along as Max
+    # aggregates instead of widening the exchange key (the multi-key
+    # aggregate path is measurably slower at scale).
+    agg = (
+        joined.map_batches(revenue, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("part_rev", alias_name="revenue_raw"),
+            Max("o_orderdate", alias_name="o_orderdate"),
+            Max("o_orderpriority", alias_name="o_orderpriority"),
+        )
+    )
+    return (
+        agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["key"],
+                    "o_orderdate": b["o_orderdate"],
+                    "o_orderpriority": b["o_orderpriority"],
+                    "revenue": _round2(b["revenue_raw"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def user_type_sets(
+    events: ray.data.Dataset,
+    *,
+    type_a: str = "purchase",
+    type_b: str = "click",
+) -> ray.data.Dataset:
+    """Distinct-set INTERSECT / EXCEPT over derived sets — users who did
+    ``type_a`` AND ``type_b`` vs users who did ``type_a`` but never
+    ``type_b``.  Returns (user_id, membership) with membership in
+    {'both', 'a_only'}.
+
+    Scale shape: one pass tags each event with two 0/1 flags, a
+    per-batch combiner collapses to one row per (user × batch), and a
+    single groupby(user_id) MAX-reduces the flags — the set algebra then
+    runs on the one-row-per-user aggregate.  No self-join, no second
+    shuffle, no distinct pass per side (the naive INTERSECT plan would
+    shuffle the fact table twice)."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        a = pc.cast(pc.equal(et, type_a), pa.int64())
+        b = pc.cast(pc.equal(et, type_b), pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "has_a": a, "has_b": b})
+        # map-side combine: one row per user per batch
+        df = t.to_pandas().groupby("user_id", as_index=False).max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_user = (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("has_a", alias_name="has_a"), Max("has_b", alias_name="has_b"))
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        a = batch["has_a"].to_numpy().astype(bool)
+        b = batch["has_b"].to_numpy().astype(bool)
+        keep = a  # rows with type_a at all
+        member = np.where(b, "both", "a_only")
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "membership": pa.array(member, type=pa.string()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return per_user.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["user_id"])
+
+
+def moving_avg_per_user(
+    events: ray.data.Dataset,
+    *,
+    window: int = 5,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Frame-based window aggregate — per-event moving average of
+    ``value`` over the last ``window`` events of the same user, ordered
+    by (ts, event_id): SQL's AVG(value) OVER (PARTITION BY user ORDER BY
+    ts ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW).  Completes the
+    window-function family next to the cumulative (``user_running_totals``)
+    and hopping (``events_hopping``) variants.
+
+    Shape: same coarse-bucket idiom as ``sessionize`` — shuffle on
+    hash(user) % num_buckets, then ONE vectorized pass per bucket: the
+    window sum is ``window`` shifted-array adds (vectorized over ALL
+    rows, never a Python loop per user or row).  Direct small sums, not
+    cumsum differences, on purpose: a cumsum over a large bucket carries
+    ~1e-10 absolute float error into every difference, enough to flip
+    the 6-decimal rounding the conformance hash uses; summing <=window
+    doubles keeps the error at machine epsilon."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("bucket", pa.array(b))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        val = df["value"].to_numpy().astype(np.float64)
+        n = len(uid)
+        new_user = np.r_[True, uid[1:] != uid[:-1]] if n else np.zeros(0, bool)
+        first_user_row = np.flatnonzero(new_user)
+        run_len = np.diff(np.r_[first_user_row, n])
+        row_in_user = np.arange(n) - np.repeat(first_user_row, run_len)
+        s = np.zeros(n, dtype=np.float64)
+        rows = np.arange(n)
+        for j in range(window):  # `window` shifted adds, each over all rows
+            valid = row_in_user >= j
+            s[valid] += val[rows[valid] - j]
+        cnt = np.minimum(row_in_user + 1, window)
+        mavg = s / cnt
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": df["event_id"].to_numpy(),
+                "mavg": np.round(mavg, 6),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fn, batch_format="pandas")
+        .sort(["user_id", "event_id"])
+    )

@@ -277,6 +277,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_tfidf_top_terms(sf):
         return dataprep.tfidf_top_terms(_read(sf, "documents", ["doc_id", "text"]))
 
+    def q_funnel_stage(sf):
+        return relational.funnel_stage(
+            _read(sf, "events", ["user_id", "event_type", "ts"])
+        )
+
+    def q_mode_event_type(sf):
+        return relational.mode_event_type(
+            _read(sf, "events", ["user_id", "event_type"])
+        )
+
+    def q_corr_qty_discount(sf):
+        return relational.corr_qty_discount(
+            _read(sf, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+        )
+
+    def q_monthly_growth(sf):
+        return relational.monthly_growth(
+            _read(sf, "orders", ["o_orderdate", "o_totalprice"])
+        )
+
+    def q_type_cooccurrence(sf):
+        return relational.type_cooccurrence(
+            _read(sf, "events", ["user_id", "event_type"])
+        )
+
     def q_anti_join(sf):
         return relational.customers_without_orders(
             _read(sf, "customer", ["c_custkey", "c_name"]),
@@ -710,6 +735,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": q_length_histogram,
         "group_zscore": q_group_zscore,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "funnel_stage": q_funnel_stage,
+        "mode_event_type": q_mode_event_type,
+        "corr_qty_discount": q_corr_qty_discount,
+        "monthly_growth": q_monthly_growth,
+        "type_cooccurrence": q_type_cooccurrence,
     }
 
 
@@ -1182,6 +1212,95 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
             ORDER BY doc_id, term
+        """,
+        # Funnel: step k = MIN ts of that type strictly after step k-1's
+        # ts (first-touch); stage is an integer so the hash is exact.
+        "funnel_stage": """
+            WITH t1 AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+                GROUP BY e.user_id),
+            t3 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+                GROUP BY e.user_id)
+            SELECT t1.user_id,
+                   CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                             WHEN t2.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS funnel_stage
+            FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                    LEFT JOIN t3 ON t1.user_id = t3.user_id
+            ORDER BY t1.user_id
+        """,
+        "mode_event_type": """
+            WITH c AS (
+                SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id, event_type),
+            r AS (
+                SELECT user_id, event_type AS mode_type, cnt AS mode_cnt,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY cnt DESC, event_type ASC) AS rn
+                FROM c)
+            SELECT user_id, mode_type, mode_cnt FROM r WHERE rn = 1
+            ORDER BY user_id
+        """,
+        # Pearson r from exact int64 moments (x = quantity, y = 100*discount;
+        # scale-invariant), identical double formula on both engines.
+        "corr_qty_discount": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                       SUM(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS sy,
+                       SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                       SUM(CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS syy,
+                       SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) AS sxy
+                FROM lineitem GROUP BY l_returnflag),
+            f AS (
+                SELECT l_returnflag, n,
+                       CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+                       GREATEST(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0) AS vx,
+                       GREATEST(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy, 0.0) AS vy
+                FROM m)
+            SELECT l_returnflag, n AS n_rows,
+                   ROUND(CASE WHEN SQRT(vx) * SQRT(vy) > 0
+                              THEN cov / (SQRT(vx) * SQRT(vy))
+                              ELSE 0.0 END, 6) AS corr_qd
+            FROM f ORDER BY l_returnflag
+        """,
+        # MoM growth over the monthly aggregate; cents are exact ints and
+        # the lag runs over aggregate rows (gap months collapse) on both
+        # engines.
+        "monthly_growth": """
+            WITH m AS (
+                SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS year,
+                       CAST(MONTH(o_orderdate) AS BIGINT) AS month,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1, 2),
+            l AS (
+                SELECT year, month, revenue_cents,
+                       LAG(revenue_cents) OVER (ORDER BY year, month) AS prev
+                FROM m)
+            SELECT year, month, revenue_cents,
+                   ROUND((CAST(revenue_cents AS DOUBLE) - prev)
+                         / CASE WHEN prev = 0 THEN 1 ELSE prev END, 6) AS growth
+            FROM l WHERE prev IS NOT NULL ORDER BY year, month
+        """,
+        "type_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
         # despite float scoring: assigned labels are integers and the

@@ -1414,3 +1414,337 @@ def moving_avg_per_user(
         .map_groups(fn, batch_format="pandas")
         .sort(["user_id", "event_id"])
     )
+
+
+def funnel_stage(
+    events: ray.data.Dataset,
+    *,
+    steps: tuple = ("view", "click", "purchase"),
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis — for each user who performed ``steps[0]``,
+    the deepest step reached where each step strictly FOLLOWS the
+    previous one in time: stage 1 = viewed, 2 = clicked after first view,
+    3 = purchased after that click.  The standard conversion query a
+    behavioral dataset runs (reference has no funnel; this extends the
+    windowed-analytics family of SURVEY.md §2.6).
+
+    Semantics pinned for the oracle: step k's timestamp is the MINIMUM
+    event ts of that type strictly greater than step k-1's timestamp
+    (first-touch attribution); ties in ts cannot demote a user because
+    the comparison is strict on ts only.
+
+    Shape: one shuffle on a coarse hash bucket of user_id, then a fully
+    vectorized per-bucket pass — three pandas groupby-mins and two
+    merges, never a per-user Python loop.  Per-batch pre-filter drops
+    event types outside the funnel before the exchange."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"], value_set=pa.array(list(steps)))
+        batch = batch.filter(mask)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "ts": pc.cast(batch["ts"], pa.int64()),
+                "bucket": pa.array(b),
+            }
+        )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            df[df["event_type"] == steps[0]]
+            .groupby("user_id", sort=False)["ts"]
+            .min()
+            .rename("t1")
+        )
+        if t1.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "funnel_stage": pd.Series([], dtype=np.int64)}
+            )
+        s2 = df[df["event_type"] == steps[1]].merge(t1, on="user_id")
+        t2 = s2[s2["ts"] > s2["t1"]].groupby("user_id", sort=False)["ts"].min().rename("t2")
+        s3 = df[df["event_type"] == steps[2]].merge(t2, on="user_id")
+        t3 = s3[s3["ts"] > s3["t2"]].groupby("user_id", sort=False)["ts"].min().rename("t3")
+        out = t1.reset_index()
+        stage = np.ones(len(out), dtype=np.int64)
+        stage[out["user_id"].isin(t2.index).to_numpy()] = 2
+        stage[out["user_id"].isin(t3.index).to_numpy()] = 3
+        return pd.DataFrame(
+            {"user_id": out["user_id"].to_numpy(np.int64), "funnel_stage": stage}
+        )
+
+    return (
+        events.select_columns(["user_id", "event_type", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fn, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def mode_event_type(
+    events: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-group MODE — each user's most frequent event type, ties broken
+    by the lexicographically smallest type so the answer is unique and
+    execution-order independent (SQL: ROW_NUMBER() OVER (PARTITION BY
+    user ORDER BY cnt DESC, type) = 1).
+
+    Shape: per-batch partial count on (user_id, event_type) collapses raw
+    events to at most users x |types| rows BEFORE the exchange, one
+    shuffle on a coarse hash bucket of user_id, then a vectorized
+    sum + take-first per bucket."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pandas(),
+            }
+        )
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        uid = g["user_id"].to_numpy().astype(np.uint64)
+        g["bucket"] = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        uid = g["user_id"].to_numpy()
+        keep = np.r_[True, uid[1:] != uid[:-1]]
+        g = g[keep]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "mode_type": g["event_type"].to_numpy(),
+                "mode_cnt": g["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def corr_qty_discount(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-returnflag Pearson correlation of quantity vs discount from
+    EXACT integer moment sums — the grouped-statistics shape
+    (mean/stddev/corr) done scale-correctly: each batch contributes one
+    partial row of int64 moments per flag, the exchange moves
+    flags x batches rows, and the float formula runs once per flag on
+    exact integers so any engine reproduces it bit-for-bit (same trick
+    as ``group_zscore``; values are integer quantities and 2-decimal
+    discounts so x and y=100*discount are exactly representable).
+
+    r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)),
+    rounded to 6 decimals; scale-invariance of r makes the x100 on the
+    discount axis vanish."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"].to_pandas()
+        x = batch["l_quantity"].to_numpy().astype(np.int64)
+        y = np.floor(batch["l_discount"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": flags,
+                "n": np.ones(len(x), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", sort=False).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n"].to_numpy().astype(np.float64)
+        sx = df["sx"].to_numpy().astype(np.float64)
+        sy = df["sy"].to_numpy().astype(np.float64)
+        cov = n * df["sxy"].to_numpy().astype(np.float64) - sx * sy
+        vx = np.maximum(n * df["sxx"].to_numpy().astype(np.float64) - sx * sx, 0.0)
+        vy = np.maximum(n * df["syy"].to_numpy().astype(np.float64) - sy * sy, 0.0)
+        denom = np.sqrt(vx) * np.sqrt(vy)
+        r = np.where(denom > 0, cov / denom, 0.0)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(df["l_returnflag"]),
+                "n_rows": pa.array(df["n"].to_numpy(np.int64)),
+                "corr_qd": pa.array(np.round(r, 6)),
+            }
+        )
+
+    return (
+        lineitem.select_columns(["l_returnflag", "l_quantity", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+        .map_batches(
+            lambda b: finish(
+                b.rename_columns(
+                    ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("l_returnflag")
+    )
+
+
+def monthly_growth(orders: ray.data.Dataset) -> pd.DataFrame:
+    """Month-over-month revenue growth — monthly SUM(o_totalprice) in
+    exact integer cents plus the LAG-based percent change, the classic
+    time-series rollup + window over an aggregate.  The heavy part (fact
+    scan + monthly aggregate) is distributed with per-batch partial
+    combine; only the ~#months aggregate rows reach the driver for the
+    trivially small lag pass — driver-side compute on an aggregate this
+    size is the intended scale shape, not a shortcut.
+
+    growth = ROUND((cur - prev) / prev, 6) computed from exact int64
+    cents on both engines; the first month is excluded (SQL LAG is
+    NULL)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        months = ts.astype("datetime64[M]")
+        ym = (months.astype(np.int64) + 12 * 1970).astype(np.int64)  # months since 0000
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"ym": ym, "cents": cents})
+        g = df.groupby("ym", sort=False)["cents"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.select_columns(["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .sum("cents")
+        .sort("ym")
+        .to_pandas()
+    )
+    cents = agg["sum(cents)"].to_numpy().astype(np.int64)
+    ym = agg["ym"].to_numpy().astype(np.int64)
+    prev = np.r_[np.int64(0), cents[:-1]]
+    out = pd.DataFrame(
+        {
+            "year": ym // 12,
+            "month": ym % 12 + 1,
+            "revenue_cents": cents,
+            "growth": np.round(
+                (cents.astype(np.float64) - prev) / np.where(prev == 0, 1, prev), 6
+            ),
+        }
+    )
+    return out.iloc[1:].reset_index(drop=True)
+
+
+def type_cooccurrence(
+    events: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Co-occurrence counts — for every unordered pair of event types
+    (a < b), how many users performed BOTH.  The market-basket /
+    co-click analysis shape: naive SQL is a distinct self-join (quadratic
+    in a user's history); here each user collapses to one bitmask row in
+    a single shuffle, and pair counts are popcount algebra on the tiny
+    type space.
+
+    Shape: a metadata-sized distinct pre-pass pins the global type -> bit
+    order (closed set, handfuls of types); per-batch flag aggregation
+    folds raw events to one uint64 mask row per user per batch; ONE
+    shuffle on a coarse user bucket ORs the masks; pair counts per bucket
+    are bit algebra over <=64x64; the final aggregate is #pairs rows."""
+
+    types = sorted(events.select_columns(["event_type"]).unique("event_type"))
+    order = {t: np.uint64(i) for i, t in enumerate(types)}
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pandas()
+        bit = et.map(order).to_numpy().astype(np.uint64)
+        df2 = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "mask": np.uint64(1) << bit,
+            }
+        )
+        g = df2.groupby("user_id", sort=False)["mask"].agg(np.bitwise_or.reduce)
+        g = g.reset_index()
+        uid = g["user_id"].to_numpy().astype(np.uint64)
+        g["bucket"] = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("user_id", sort=False)["mask"].agg(np.bitwise_or.reduce)
+        masks = m.to_numpy().astype(np.uint64)
+        k = len(types)
+        rows = []
+        for a in range(k):
+            ha = (masks >> np.uint64(a)) & np.uint64(1)
+            if not ha.any():
+                continue
+            for b in range(a + 1, k):
+                c = int((ha & (masks >> np.uint64(b))).sum())
+                if c:
+                    rows.append((a, b, c))
+        if not rows:
+            return pd.DataFrame(
+                {"bit_a": pd.Series([], dtype=np.int64),
+                 "bit_b": pd.Series([], dtype=np.int64),
+                 "n_users": pd.Series([], dtype=np.int64)}
+            )
+        arr = np.array(rows, dtype=np.int64)
+        return pd.DataFrame({"bit_a": arr[:, 0], "bit_b": arr[:, 1], "n_users": arr[:, 2]})
+
+    ds = (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(stage1, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["bit_a", "bit_b"])
+        .sum("n_users")
+    )
+
+    def name_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["bit_a"].to_numpy()
+        b = batch["bit_b"].to_numpy()
+        return pa.table(
+            {
+                "type_a": pa.array([types[i] for i in a]),
+                "type_b": pa.array([types[i] for i in b]),
+                "n_users": pc.cast(batch["sum(n_users)"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(name_pairs, batch_format="pyarrow").sort(
+        ["type_a", "type_b"]
+    )

@@ -170,6 +170,10 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "bigram_counts",
         "decontaminate",
         "label_centroids",
+        "shipping_priority",
+        "moving_avg",
+        "tfidf_top_terms",
+        "nearest_centroid",
     ]
     out = {}
     for name in names:

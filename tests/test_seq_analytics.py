@@ -1,0 +1,120 @@
+"""Funnel stages, per-user mode, exact-moment Pearson corr, MoM growth
+and type co-occurrence vs brute-force pandas oracles at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.pipelines import relational
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_pd():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def events_ds():
+    return ray.data.read_parquet(f"{SF}/events.parquet")
+
+
+def _funnel_oracle(events_pd, steps=("view", "click", "purchase")):
+    out = {}
+    for uid, g in events_pd.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        v = g[g["event_type"] == steps[0]]["ts"]
+        if v.empty:
+            continue
+        stage, t = 1, v.min()
+        c = g[(g["event_type"] == steps[1]) & (g["ts"] > t)]["ts"]
+        if not c.empty:
+            stage, t = 2, c.min()
+            p = g[(g["event_type"] == steps[2]) & (g["ts"] > t)]["ts"]
+            if not p.empty:
+                stage = 3
+
+        out[uid] = stage
+    return out
+
+
+def test_funnel_stage(events_ds, events_pd):
+    got = relational.funnel_stage(events_ds).to_pandas()
+    want = _funnel_oracle(events_pd)
+    assert dict(zip(got["user_id"], got["funnel_stage"])) == want
+
+
+def test_funnel_partitioning_invariant(events_ds):
+    a = relational.funnel_stage(events_ds).to_pandas()
+    b = relational.funnel_stage(events_ds.repartition(7), num_buckets=5).to_pandas()
+    assert a.equals(b)
+
+
+def test_mode_event_type(events_ds, events_pd):
+    got = relational.mode_event_type(events_ds).to_pandas()
+    cnt = (
+        events_pd.groupby(["user_id", "event_type"]).size().reset_index(name="cnt")
+    )
+    cnt = cnt.sort_values(
+        ["user_id", "cnt", "event_type"], ascending=[True, False, True]
+    )
+    want = cnt.groupby("user_id").first()
+    assert dict(zip(got["user_id"], got["mode_type"])) == want["event_type"].to_dict()
+    assert dict(zip(got["user_id"], got["mode_cnt"])) == want["cnt"].to_dict()
+
+
+def test_corr_qty_discount():
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+    got = relational.corr_qty_discount(li).to_pandas()
+    pdf = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    for _, row in got.iterrows():
+        g = pdf[pdf["l_returnflag"] == row["l_returnflag"]]
+        want = np.corrcoef(g["l_quantity"], g["l_discount"])[0, 1]
+        assert abs(row["corr_qd"] - want) < 1e-5
+        assert row["n_rows"] == len(g)
+
+
+def test_monthly_growth():
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    got = relational.monthly_growth(orders)
+    pdf = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    pdf["cents"] = np.floor(pdf["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    m = (
+        pdf.groupby([pdf["o_orderdate"].dt.year, pdf["o_orderdate"].dt.month])["cents"]
+        .sum()
+        .sort_index()
+    )
+    assert len(got) == len(m) - 1
+    assert got["revenue_cents"].tolist() == m.tolist()[1:]
+    cents = m.to_numpy()
+    growth = (cents[1:] - cents[:-1]) / cents[:-1]
+    assert np.allclose(got["growth"].to_numpy(), np.round(growth, 6), atol=1e-9)
+
+
+def test_type_cooccurrence(events_ds, events_pd):
+    got = relational.type_cooccurrence(events_ds).to_pandas()
+    d = events_pd[["user_id", "event_type"]].drop_duplicates()
+    pairs = d.merge(d, on="user_id")
+    pairs = pairs[pairs["event_type_x"] < pairs["event_type_y"]]
+    want = (
+        pairs.groupby(["event_type_x", "event_type_y"]).size().to_dict()
+    )
+    gotd = {
+        (a, b): n for a, b, n in zip(got["type_a"], got["type_b"], got["n_users"])
+    }
+    assert gotd == want
+
+
+def test_cooccurrence_partitioning_invariant(events_ds):
+    a = relational.type_cooccurrence(events_ds).to_pandas()
+    b = relational.type_cooccurrence(
+        events_ds.repartition(7), num_buckets=5
+    ).to_pandas()
+    assert a.equals(b)

@@ -302,6 +302,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_type"])
         )
 
+    def q_global_rank(sf):
+        return relational.global_rank(
+            _read(sf, "orders", ["o_orderkey", "o_totalprice"])
+        )
+
+    def q_source_entropy(sf):
+        return dataprep.source_entropy(_read(sf, "documents", ["lang", "source"]))
+
     def q_anti_join(sf):
         return relational.customers_without_orders(
             _read(sf, "customer", ["c_custkey", "c_name"]),
@@ -740,6 +748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_discount": q_corr_qty_discount,
         "monthly_growth": q_monthly_growth,
         "type_cooccurrence": q_type_cooccurrence,
+        "global_rank": q_global_rank,
+        "source_entropy": q_source_entropy,
     }
 
 
@@ -1301,6 +1311,36 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "global_rank": """
+            WITH r AS (
+                SELECT o_orderkey,
+                       ROW_NUMBER() OVER (
+                           ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                                    o_orderkey ASC) AS price_rank,
+                       NTILE(4) OVER (
+                           ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                                    o_orderkey ASC) AS quartile
+                FROM orders)
+            SELECT o_orderkey, price_rank, CAST(quartile AS BIGINT) AS quartile
+            FROM r ORDER BY o_orderkey
+        """,
+        # H = -sum(p log2 p) from exact integer counts; <=|sources| terms
+        # per lang, so association order cannot move the 6th decimal.
+        "source_entropy": """
+            WITH c AS (
+                SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY lang, source),
+            t AS (
+                SELECT lang, CAST(SUM(cnt) AS DOUBLE) AS n,
+                       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_sources
+                FROM c GROUP BY lang)
+            SELECT t.lang, t.n_docs, t.n_sources,
+                   ROUND(-SUM((c.cnt / t.n) * LOG2(c.cnt / t.n)), 6) AS entropy
+            FROM c JOIN t USING (lang)
+            GROUP BY t.lang, t.n_docs, t.n_sources, t.n
+            ORDER BY t.lang
         """,
         # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
         # despite float scoring: assigned labels are integers and the

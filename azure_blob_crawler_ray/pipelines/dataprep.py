@@ -1532,3 +1532,48 @@ def tfidf_top_terms(
         .map_groups(topk, batch_format="pandas")
         .sort(["doc_id", "term"])
     )
+
+
+def source_entropy(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-language Shannon entropy of the source distribution — the
+    diversity/balance diagnostic a corpus-curation pipeline reports per
+    slice (is a language dominated by one crawl source?).
+
+    Exact int64 (lang, source) counts via map-side combine, ONE shuffle
+    of langs x sources x batches partial rows, then the float formula
+    H = -sum(p * log2 p) runs once per language on exact integers and is
+    rounded to 6 decimals — the same pinned-formula trick as
+    ``group_zscore`` (the sum spans a handful of terms, so association
+    order cannot move the 6th decimal)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "source": batch["source"].to_pandas(),
+            }
+        )
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], sort=False)["cnt"].sum().reset_index()
+        g = g.sort_values(["lang", "source"], kind="mergesort")
+        out = []
+        for lang, sub in g.groupby("lang", sort=True):
+            c = sub["cnt"].to_numpy().astype(np.float64)
+            n = c.sum()
+            p = c / n
+            h = float(-(p * np.log2(p)).sum())
+            out.append((lang, int(n), len(sub), round(h, 6)))
+        return pd.DataFrame(
+            out, columns=["lang", "n_docs", "n_sources", "entropy"]
+        )
+
+    return (
+        docs.select_columns(["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+        .sort("lang")
+    )

@@ -1748,3 +1748,99 @@ def type_cooccurrence(
     return ds.map_batches(name_pairs, batch_format="pyarrow").sort(
         ["type_a", "type_b"]
     )
+
+
+def global_rank(orders: ray.data.Dataset, *, ntile: int = 4) -> ray.data.Dataset:
+    """Distributed exact ROW_NUMBER + NTILE over a TOTAL order — rank of
+    every order by (o_totalprice DESC, o_orderkey ASC) plus its NTILE
+    quartile, with no per-partition trick available: the rank is global.
+    SQL: ROW_NUMBER() / NTILE(n) OVER (ORDER BY price DESC, key).
+
+    Scale shape (same hierarchical two-pass as ``pack_sequences``):
+    distributed sort on exact integer cents, MATERIALIZE the narrow
+    2-column projection, pass 1 pulls one (first-row key, row count)
+    summary per block to the driver, which computes exclusive prefix
+    offsets and the global total; pass 2 broadcasts the tiny offset map
+    and each block assigns rank = offset + local position — nothing
+    row-scale ever reaches the driver.
+
+    NTILE semantics pinned to SQL's: with q, r = divmod(n, k), the first
+    r tiles take q+1 rows each.  Unique o_orderkey makes the total order
+    strict, so ranks are execution-order independent."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": batch["o_orderkey"], "cents": cents})
+
+    ordered = (
+        orders.select_columns(["o_orderkey", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cents", "o_orderkey"], descending=[True, False])
+        .materialize()
+    )
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_cents": pa.array([], type=pa.int64()),
+                             "first_key": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        return pa.table(
+            {
+                "first_cents": pa.array([int(batch["cents"][0].as_py())], type=pa.int64()),
+                "first_key": pa.array([int(batch["o_orderkey"][0].as_py())], type=pa.int64()),
+                "rows": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    summaries = ordered.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    # block order = sort order: cents DESC, key ASC
+    summaries = summaries.sort_values(
+        ["first_cents", "first_key"], ascending=[False, True], kind="mergesort"
+    )
+    rows = summaries["rows"].to_numpy().astype(np.int64)
+    n_total = int(rows.sum())
+    offs = dict(
+        zip(
+            zip(
+                summaries["first_cents"].to_numpy().astype(np.int64).tolist(),
+                summaries["first_key"].to_numpy().astype(np.int64).tolist(),
+            ),
+            (np.cumsum(rows) - rows).tolist(),
+        )
+    )
+    offs_ref = ray.put(offs)
+    q, r = divmod(n_total, ntile)
+    boundary = (q + 1) * r
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                             "price_rank": pa.array([], type=pa.int64()),
+                             "quartile": pa.array([], type=pa.int64())})
+        o = ray.get(offs_ref)
+        start = o[(int(batch["cents"][0].as_py()), int(batch["o_orderkey"][0].as_py()))]
+        rank = start + np.arange(1, batch.num_rows + 1, dtype=np.int64)
+        if q > 0:
+            tile = np.where(
+                rank <= boundary,
+                -(-rank // (q + 1)),
+                r + -(-(rank - boundary) // q),
+            ).astype(np.int64)
+        else:
+            tile = rank
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "price_rank": pa.array(rank),
+                "quartile": pa.array(tile),
+            }
+        )
+
+    return ordered.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).sort("o_orderkey")

@@ -118,3 +118,43 @@ def test_cooccurrence_partitioning_invariant(events_ds):
         events_ds.repartition(7), num_buckets=5
     ).to_pandas()
     assert a.equals(b)
+
+
+def test_global_rank():
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    got = relational.global_rank(orders).to_pandas()
+    pdf = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    pdf["cents"] = np.floor(pdf["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    pdf = pdf.sort_values(["cents", "o_orderkey"], ascending=[False, True])
+    pdf["rank"] = np.arange(1, len(pdf) + 1)
+    want = pdf.set_index("o_orderkey")["rank"].to_dict()
+    assert dict(zip(got["o_orderkey"], got["price_rank"])) == want
+    # NTILE semantics: first n%4 tiles take one extra row
+    n = len(pdf)
+    q, r = divmod(n, 4)
+    sizes = got["quartile"].value_counts().sort_index().tolist()
+    assert sizes == [q + 1] * r + [q] * (4 - r)
+
+
+def test_global_rank_partitioning_invariant():
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    a = relational.global_rank(orders).to_pandas()
+    b = relational.global_rank(orders.repartition(7)).to_pandas()
+    assert a.equals(b)
+
+
+def test_source_entropy():
+    from azure_blob_crawler_ray.pipelines import dataprep
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = dataprep.source_entropy(docs).to_pandas()
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for _, row in got.iterrows():
+        g = pdf[pdf["lang"] == row["lang"]]
+        c = g.groupby("source").size().to_numpy().astype(np.float64)
+        p = c / c.sum()
+        assert abs(row["entropy"] - (-(p * np.log2(p)).sum())) < 1e-6
+        assert row["n_docs"] == len(g)
+        assert row["n_sources"] == len(c)

@@ -310,6 +310,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_source_entropy(sf):
         return dataprep.source_entropy(_read(sf, "documents", ["lang", "source"]))
 
+    def q_json_prop_stats(sf):
+        return relational.json_prop_stats(
+            _read(sf, "events", ["event_type", "props"])
+        )
+
+    def q_revenue_share(sf):
+        return relational.revenue_share(
+            _read(sf, "orders", ["o_orderpriority", "o_totalprice"])
+        )
+
+    def q_cohort_retention(sf):
+        return relational.cohort_retention(_read(sf, "events", ["user_id", "ts"]))
+
     def q_anti_join(sf):
         return relational.customers_without_orders(
             _read(sf, "customer", ["c_custkey", "c_name"]),
@@ -750,6 +763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccurrence": q_type_cooccurrence,
         "global_rank": q_global_rank,
         "source_entropy": q_source_entropy,
+        "json_prop_stats": q_json_prop_stats,
+        "revenue_share": q_revenue_share,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1341,6 +1357,41 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN t USING (lang)
             GROUP BY t.lang, t.n_docs, t.n_sources, t.n
             ORDER BY t.lang
+        """,
+        "json_prop_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events)
+            SELECT event_type,
+                   CAST(COUNT(k) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM x WHERE k IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "revenue_share": """
+            WITH m AS (
+                SELECT o_orderpriority,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1),
+            t AS (SELECT CAST(SUM(revenue_cents) AS DOUBLE) AS tot FROM m)
+            SELECT o_orderpriority, revenue_cents,
+                   ROUND(revenue_cents / t.tot, 6) AS share
+            FROM m, t ORDER BY o_orderpriority
+        """,
+        "cohort_retention": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week
+                FROM events),
+            c AS (SELECT user_id, MIN(week) AS cw FROM a GROUP BY user_id)
+            SELECT c.cw AS cohort_week, a.week - c.cw AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
         # despite float scoring: assigned labels are integers and the

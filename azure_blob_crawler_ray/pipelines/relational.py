@@ -1844,3 +1844,137 @@ def global_rank(orders: ray.data.Dataset, *, ntile: int = 4) -> ray.data.Dataset
     return ordered.map_batches(
         assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).sort("o_orderkey")
+
+
+def json_prop_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Semi-structured extraction + aggregate — pull the integer ``k``
+    property out of the JSON ``props`` column and roll up per event
+    type.  The reference flattens JSON payloads row-by-row in Python
+    (ref extractor's flatten_json); here extraction is ONE vectorized
+    regex over the Arrow column (the schema of a pinned property is a
+    regex, not a parser) and the aggregate is the usual map-side
+    combine: one partial row per (type, batch) crosses the exchange.
+
+    Rows whose props carry no integer ``k`` are dropped (count reflects
+    matches), matching SQL's IS NOT NULL filter."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        valid = pc.is_valid(ext)
+        k = pc.cast(pc.struct_field(ext.filter(valid), "k"), pa.int64()).to_numpy()
+        et = batch["event_type"].filter(valid).to_pandas()
+        df = pd.DataFrame({"event_type": et, "k": k})
+        g = df.groupby("event_type", sort=False)["k"].agg(
+            n="count", sum_k="sum", min_k="min", max_k="max"
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=True).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"),
+        )
+        return g.reset_index().astype(
+            {"n": np.int64, "sum_k": np.int64, "min_k": np.int64, "max_k": np.int64}
+        )
+
+    return (
+        events.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+def revenue_share(orders: ray.data.Dataset) -> pd.DataFrame:
+    """Percent-of-total (SQL ratio_to_report) — each order priority's
+    revenue and its share of the grand total.  Distributed part: fact
+    scan with per-batch partial combine into exact integer cents; the
+    share division runs driver-side over the #priorities-row aggregate
+    (the intended scale shape for a grand-total window — a second pass
+    over the fact table would buy nothing)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"].to_pandas(), "cents": cents}
+        )
+        g = df.groupby("o_orderpriority", sort=False)["cents"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        orders.select_columns(["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .sum("cents")
+        .sort("o_orderpriority")
+        .to_pandas()
+    )
+    cents = agg["sum(cents)"].to_numpy().astype(np.int64)
+    tot = float(cents.sum())
+    return pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"],
+            "revenue_cents": cents,
+            "share": np.round(cents / tot, 6),
+        }
+    )
+
+
+def cohort_retention(
+    events: ray.data.Dataset, *, week_us: int = 604_800_000_000, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Cohort retention — users grouped by first-activity week, counted
+    distinct per (cohort week, weeks-since-cohort offset).  The
+    engagement matrix every behavioral dataset reports; SQL needs a
+    min-per-user CTE joined back to a distinct activity set.
+
+    Shape: per-batch partial distinct on (user, week) folds raw events
+    before the exchange; ONE shuffle on a coarse user bucket — a user's
+    whole history lands in one task, so the cohort week and every offset
+    are decided locally and the bucket emits exact (cohort, offset,
+    n_users) partials (each user counted once globally because users
+    don't span buckets); the final aggregate is matrix-sized."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // week_us
+        ).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "week": wk}).drop_duplicates()
+        u = df["user_id"].to_numpy().astype(np.uint64)
+        df["bucket"] = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "week"])
+        cw = df.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_week": cw.to_numpy(np.int64),
+                "week_offset": (df["week"] - cw).to_numpy(np.int64),
+            }
+        )
+        g = out.groupby(["cohort_week", "week_offset"]).size().reset_index(
+            name="n_users"
+        )
+        return g
+
+    return (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .sum("n_users")
+        .map_batches(
+            lambda b: b.rename_columns(["cohort_week", "week_offset", "n_users"]),
+            batch_format="pyarrow",
+        )
+        .sort(["cohort_week", "week_offset"])
+    )

@@ -158,3 +158,49 @@ def test_source_entropy():
         assert abs(row["entropy"] - (-(p * np.log2(p)).sum())) < 1e-6
         assert row["n_docs"] == len(g)
         assert row["n_sources"] == len(c)
+
+
+def test_json_prop_stats(events_ds, events_pd):
+    got = relational.json_prop_stats(events_ds).to_pandas()
+    k = events_pd["props"].str.extract(r'"k":\s*(-?\d+)')[0].astype("Int64")
+    df = pd.DataFrame({"event_type": events_pd["event_type"], "k": k}).dropna()
+    want = df.groupby("event_type")["k"].agg(["count", "sum", "min", "max"])
+    for _, row in got.iterrows():
+        w = want.loc[row["event_type"]]
+        assert (row["n"], row["sum_k"], row["min_k"], row["max_k"]) == (
+            w["count"], w["sum"], w["min"], w["max"],
+        )
+
+
+def test_revenue_share():
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    got = relational.revenue_share(orders)
+    assert abs(got["share"].sum() - 1.0) < 1e-4
+    pdf = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    pdf["cents"] = np.floor(pdf["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    want = pdf.groupby("o_orderpriority")["cents"].sum()
+    assert dict(zip(got["o_orderpriority"], got["revenue_cents"])) == want.to_dict()
+
+
+def test_cohort_retention(events_ds, events_pd):
+    got = relational.cohort_retention(events_ds).to_pandas()
+    wk = (events_pd["ts"].astype("int64") // 604_800_000_000).astype(np.int64)
+    a = pd.DataFrame({"user_id": events_pd["user_id"], "week": wk}).drop_duplicates()
+    cw = a.groupby("user_id")["week"].transform("min")
+    cell = pd.DataFrame({"cohort_week": cw, "week_offset": a["week"] - cw})
+    want = cell.groupby(["cohort_week", "week_offset"]).size().to_dict()
+    gotd = {
+        (c, o): n
+        for c, o, n in zip(got["cohort_week"], got["week_offset"], got["n_users"])
+    }
+    assert gotd == want
+
+
+def test_cohort_partitioning_invariant(events_ds):
+    a = relational.cohort_retention(events_ds).to_pandas()
+    b = relational.cohort_retention(
+        events_ds.repartition(7), num_buckets=5
+    ).to_pandas()
+    assert a.equals(b)

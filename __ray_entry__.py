@@ -323,6 +323,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_cohort_retention(sf):
         return relational.cohort_retention(_read(sf, "events", ["user_id", "ts"]))
 
+    def q_rolling_active_users(sf):
+        return relational.rolling_active_users(
+            _read(sf, "events", ["user_id", "ts"])
+        )
+
     def q_anti_join(sf):
         return relational.customers_without_orders(
             _read(sf, "customer", ["c_custkey", "c_name"]),
@@ -766,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_prop_stats": q_json_prop_stats,
         "revenue_share": q_revenue_share,
         "cohort_retention": q_cohort_retention,
+        "rolling_active_users": q_rolling_active_users,
     }
 
 
@@ -1392,6 +1398,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM a JOIN c USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rolling_active_users": """
+            WITH du AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users
+            FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY d.day
         """,
         # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
         # despite float scoring: assigned labels are integers and the

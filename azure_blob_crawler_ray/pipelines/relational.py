@@ -1978,3 +1978,81 @@ def cohort_retention(
         )
         .sort(["cohort_week", "week_offset"])
     )
+
+
+def rolling_active_users(
+    events: ray.data.Dataset,
+    *,
+    window_days: int = 7,
+    day_us: int = 86_400_000_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Windowed COUNT DISTINCT — trailing-``window_days`` active users
+    for every activity day (the DAU/WAU engagement metric).  SQL needs a
+    day×activity range join plus COUNT DISTINCT; a naive engine shuffles
+    raw events per day of the window.
+
+    Shape: per-batch distinct (user, day) folds events before the ONE
+    user-bucket shuffle; inside a bucket each (user, day) explodes to
+    its ``window_days`` target days (offset arithmetic over a tiled
+    array, no Python loop), is deduped, filtered to the tiny broadcast
+    set of real activity days, and counted — users never span buckets,
+    so per-bucket counts sum to exact global distinct counts at the
+    final matrix-sized aggregate."""
+
+    day_col = (
+        events.select_columns(["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {"day": pc.unique(pc.divide(pc.cast(b["ts"], pa.int64()), day_us))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("day")
+    )
+    valid_days = np.sort(np.array(sorted(day_col), dtype=np.int64))
+    valid_ref = ray.put(valid_days)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // day_us
+        ).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        u = df["user_id"].to_numpy().astype(np.uint64)
+        df["bucket"] = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        uid = np.repeat(df["user_id"].to_numpy(np.int64), window_days)
+        tgt = np.repeat(df["day"].to_numpy(np.int64), window_days) + np.tile(
+            np.arange(window_days, dtype=np.int64), len(df)
+        )
+        vd = ray.get(valid_ref)
+        pairs = pd.DataFrame({"user_id": uid, "day": tgt}).drop_duplicates()
+        pairs = pairs[pairs["day"].isin(vd)]
+        g = pairs.groupby("day").size().reset_index(name="n_users")
+        return g
+
+    return (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("day")
+        .sum("n_users")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pc.cast(b["day"], pa.int64()),
+                    "active_users": pc.cast(b["sum(n_users)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("day")
+    )

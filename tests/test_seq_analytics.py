@@ -204,3 +204,22 @@ def test_cohort_partitioning_invariant(events_ds):
         events_ds.repartition(7), num_buckets=5
     ).to_pandas()
     assert a.equals(b)
+
+
+def test_rolling_active_users(events_ds, events_pd):
+    got = relational.rolling_active_users(events_ds).to_pandas()
+    day = (events_pd["ts"].astype("int64") // 86_400_000_000).astype(np.int64)
+    du = pd.DataFrame({"user_id": events_pd["user_id"], "day": day}).drop_duplicates()
+    for _, row in got.iterrows():
+        d = row["day"]
+        want = du[(du["day"] >= d - 6) & (du["day"] <= d)]["user_id"].nunique()
+        assert row["active_users"] == want
+    assert sorted(got["day"]) == sorted(du["day"].unique())
+
+
+def test_rolling_active_partitioning_invariant(events_ds):
+    a = relational.rolling_active_users(events_ds).to_pandas()
+    b = relational.rolling_active_users(
+        events_ds.repartition(7), num_buckets=5
+    ).to_pandas()
+    assert a.equals(b)

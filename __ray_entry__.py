@@ -328,6 +328,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "ts"])
         )
 
+    def q_unpivot_daily(sf):
+        return relational.unpivot_daily(_read(sf, "events", ["ts", "event_type"]))
+
+    def q_lang_sources(sf):
+        return dataprep.lang_sources(_read(sf, "documents", ["lang", "source"]))
+
     def q_anti_join(sf):
         return relational.customers_without_orders(
             _read(sf, "customer", ["c_custkey", "c_name"]),
@@ -772,6 +778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share": q_revenue_share,
         "cohort_retention": q_cohort_retention,
         "rolling_active_users": q_rolling_active_users,
+        "unpivot_daily": q_unpivot_daily,
+        "lang_sources": q_lang_sources,
     }
 
 
@@ -1407,6 +1415,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users
             FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
             GROUP BY d.day ORDER BY d.day
+        """,
+        "unpivot_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "lang_sources": """
+            SELECT lang,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
         # despite float scoring: assigned labels are integers and the

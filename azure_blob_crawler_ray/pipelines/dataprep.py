@@ -1577,3 +1577,37 @@ def source_entropy(docs: ray.data.Dataset) -> ray.data.Dataset:
         .map_groups(finish, batch_format="pandas")
         .sort("lang")
     )
+
+
+def lang_sources(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Ordered list aggregation — per language, the comma-joined sorted
+    list of DISTINCT sources (SQL string_agg(DISTINCT ... ORDER BY)).
+    Deterministic because the join order is pinned to ascending source.
+
+    Shape: per-batch distinct partial folds rows to (lang, source)
+    pairs before the exchange; one groupby over langs (tiny), sorted
+    join inside the group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pandas(), "source": batch["source"].to_pandas()}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(df["source"].unique())
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "n_sources": np.array([len(srcs)], dtype=np.int64),
+                "sources": [",".join(srcs)],
+            }
+        )
+
+    return (
+        docs.select_columns(["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+        .sort("lang")
+    )

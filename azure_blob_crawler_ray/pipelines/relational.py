@@ -2056,3 +2056,39 @@ def rolling_active_users(
         )
         .sort("day")
     )
+
+
+def unpivot_daily(
+    events: ray.data.Dataset,
+    *,
+    categories: tuple = ("click", "error", "purchase", "signup", "view"),
+) -> ray.data.Dataset:
+    """UNPIVOT (melt) — the inverse of the ``pivot_counts`` reshape: the
+    wide day x event-type count matrix back to long (day, event_type, n)
+    rows, dropping absent combinations (count 0), which makes
+    pivot -> unpivot a lossless round trip of the daily aggregate.
+
+    Shape: the pivot's own distributed aggregate does the heavy work;
+    the melt is a pure per-batch Arrow/numpy transform over the
+    matrix-sized wide result — no extra exchange."""
+
+    wide = pivot_counts(events, categories=categories)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        day = np.asarray(batch["day"].to_pylist(), dtype=object)
+        days, types, counts = [], [], []
+        for c in categories:
+            n = batch[c].to_numpy()
+            keep = n > 0
+            days.append(day[keep])
+            types.append(np.repeat(c, int(keep.sum())).astype(object))
+            counts.append(n[keep])
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate(days), type=pa.string()),
+                "event_type": pa.array(np.concatenate(types), type=pa.string()),
+                "n": pa.array(np.concatenate(counts).astype(np.int64)),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow").sort(["day", "event_type"])

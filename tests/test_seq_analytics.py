@@ -223,3 +223,28 @@ def test_rolling_active_partitioning_invariant(events_ds):
         events_ds.repartition(7), num_buckets=5
     ).to_pandas()
     assert a.equals(b)
+
+
+def test_unpivot_daily_roundtrip(events_ds, events_pd):
+    got = relational.unpivot_daily(events_ds).to_pandas()
+    day = events_pd["ts"].dt.strftime("%Y-%m-%d")
+    want = (
+        pd.DataFrame({"day": day, "event_type": events_pd["event_type"]})
+        .groupby(["day", "event_type"])
+        .size()
+        .to_dict()
+    )
+    gotd = {(d, t): n for d, t, n in zip(got["day"], got["event_type"], got["n"])}
+    assert gotd == want
+
+
+def test_lang_sources():
+    from azure_blob_crawler_ray.pipelines import dataprep
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = dataprep.lang_sources(docs).to_pandas()
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for _, row in got.iterrows():
+        want = sorted(pdf[pdf["lang"] == row["lang"]]["source"].unique())
+        assert row["sources"] == ",".join(want)
+        assert row["n_sources"] == len(want)

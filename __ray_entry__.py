@@ -334,6 +334,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_lang_sources(sf):
         return dataprep.lang_sources(_read(sf, "documents", ["lang", "source"]))
 
+    def q_pagerank(sf):
+        from azure_blob_crawler_ray.pipelines import graph
+
+        pairs = dataprep.ngram_jaccard_pairs(
+            _read(sf, "documents", ["doc_id", "text"]),
+            ngram=12,
+            threshold=0.5,
+            max_posting=200,
+        )
+        return graph.pagerank_int(pairs)
+
     def q_anti_join(sf):
         return relational.customers_without_orders(
             _read(sf, "customer", ["c_custkey", "c_name"]),
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": q_rolling_active_users,
         "unpivot_daily": q_unpivot_daily,
         "lang_sources": q_lang_sources,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1426,6 +1438,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
                    string_agg(DISTINCT source, ',' ORDER BY source) AS sources
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # fixed-point integer PageRank, 3 unrolled iterations over the
+        # ngram near-dup pair graph — every step is int64 floor math, so
+        # the hash compare is exact (damping 0.85 = 17/20).
+        "pagerank": f"""
+            WITH {_NGRAM_CTES}, pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.5
+            ), sym AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), deg AS (
+                SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+            ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+            r0 AS (
+                SELECT u AS node, 1000000000000 // nn.n AS r FROM deg, nn
+            ),
+            r1 AS (
+                SELECT s.v AS node,
+                       (3000000000000 // (20 * nn.n))
+                       + SUM((17 * r0.r) // (20 * deg.d)) AS r
+                FROM sym s JOIN r0 ON r0.node = s.u
+                           JOIN deg ON deg.u = s.u, nn
+                GROUP BY s.v, nn.n
+            ),
+            r2 AS (
+                SELECT s.v AS node,
+                       (3000000000000 // (20 * nn.n))
+                       + SUM((17 * r1.r) // (20 * deg.d)) AS r
+                FROM sym s JOIN r1 ON r1.node = s.u
+                           JOIN deg ON deg.u = s.u, nn
+                GROUP BY s.v, nn.n
+            ),
+            r3 AS (
+                SELECT s.v AS node,
+                       (3000000000000 // (20 * nn.n))
+                       + SUM((17 * r2.r) // (20 * deg.d)) AS r
+                FROM sym s JOIN r2 ON r2.node = s.u
+                           JOIN deg ON deg.u = s.u, nn
+                GROUP BY s.v, nn.n
+            )
+            SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_scaled
+            FROM r3 ORDER BY doc_id
         """,
         # Argmax over cosine(v, per-label centroid).  Safe to hash-compare
         # despite float scoring: assigned labels are integers and the

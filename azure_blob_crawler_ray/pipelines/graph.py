@@ -205,3 +205,194 @@ def connected_components(
         return pa.table({out_node: batch["node"], out_label: batch["label"]})
 
     return labels.map_batches(finish, batch_format="pyarrow").sort(out_node)
+
+
+def pagerank_int(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+    num_buckets: int | None = None,
+    rows_per_bucket: int = 65_536,
+    out_node: str = "doc_id",
+    out_rank: str = "rank_scaled",
+) -> ray.data.Dataset:
+    """PageRank over the undirected pair graph in FIXED-POINT integer
+    arithmetic — the iterative-ranking operator (importance within a
+    near-dup cluster, link authority on a crawl graph) done so the
+    result is bit-identical on any engine and therefore SQL-checkable
+    by unrolling the iterations into CTEs: every quantity is an int64,
+    every division a floor division, every aggregate an integer sum —
+    no float accumulation order anywhere.
+
+    Semantics (pinned): symmetrize pairs; N = |nodes|; deg = degree in
+    the symmetrized graph; r0 = scale // N; then ``iters`` rounds of
+      r'(v) = (3*scale) // (20*N)  +  sum over edges u->v of
+              (17 * r(u)) // (20 * deg(u))
+    i.e. damping 0.85 written as the exact rational 17/20.  Every node
+    of an undirected graph has in-edges, so the per-destination sum
+    covers all nodes.
+
+    Shape: same bucket discipline as ``connected_components`` — edges
+    are materialized once with deg(u) FOLDED INTO the edge row (static
+    across rounds, so the per-round union carries only the |V|-sized
+    rank table), each round is two coarse-bucket exchanges over
+    edge-sized data, ranks are materialized per round so round t+1
+    never re-executes round t's lineage."""
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b])),
+                "other": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    raw = edges.map_batches(
+        to_directed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_directed = raw.count()
+    if n_directed == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    out_node: pa.array([], type=pa.int64()),
+                    out_rank: pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    if num_buckets is None:
+        num_buckets = min(64, (n_directed - 1) // rows_per_bucket + 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["key"].to_numpy()
+        return batch.append_column("bucket", pa.array(_bucket_of(u, num_buckets)))
+
+    bucketed = (
+        raw.repartition(num_buckets)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    # per-bucket: attach deg(u) to every edge (all of u's edges share its
+    # bucket); one run-detection pass, no per-node Python
+    def attach_deg(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy()
+        other = group["other"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, other = key[order], other[order]
+        first = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.r_[starts, len(key)])
+        deg = np.repeat(runs, runs).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "other": pa.array(other),
+                "val": pa.array(deg),
+                "kind": pa.array(np.zeros(len(key), dtype=np.int8)),
+                "bucket": pa.array(_bucket_of(key, num_buckets)),
+            }
+        )
+
+    edges_deg = (
+        bucketed.groupby("bucket")
+        .map_groups(attach_deg, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def init_nodes(group: pa.Table) -> pa.Table:
+        u = np.unique(group["key"].to_numpy())
+        return pa.table({"node": pa.array(u)})
+
+    nodes = (
+        bucketed.groupby("bucket")
+        .map_groups(init_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    r0 = scale // n_nodes
+    base = (3 * scale) // (20 * n_nodes)
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "r": pa.array(np.full(len(node), r0, dtype=np.int64)),
+                "bucket": pa.array(_bucket_of(node, num_buckets)),
+            }
+        )
+
+    ranks = nodes.map_batches(
+        init_ranks, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy()
+        return pa.table(
+            {
+                "key": batch["node"],
+                "other": pa.array(np.zeros(len(node), dtype=np.int64)),
+                "val": batch["r"],
+                "kind": pa.array(np.ones(len(node), dtype=np.int8)),
+                "bucket": batch["bucket"],
+            }
+        )
+
+    def contribs(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy()
+        key = group["key"].to_numpy()
+        val = group["val"].to_numpy()
+        is_rank = kind == 1
+        rn, rv = key[is_rank], val[is_rank]
+        order = np.argsort(rn, kind="stable")
+        rn, rv = rn[order], rv[order]
+        ek = key[~is_rank]
+        eo = group["other"].to_numpy()[~is_rank]
+        ed = val[~is_rank]
+        r_u = rv[np.searchsorted(rn, ek)]  # exact lookup by construction
+        c = (17 * r_u) // (20 * ed)
+        return pa.table(
+            {
+                "node": pa.array(eo),
+                "c": pa.array(c),
+                "bucket": pa.array(_bucket_of(eo, num_buckets)),
+            }
+        )
+
+    def sum_per_node(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy()
+        c = group["c"].to_numpy()
+        order = np.argsort(node, kind="stable")
+        node, c = node[order], c[order]
+        first = np.r_[True, node[1:] != node[:-1]]
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(c, starts)
+        u = node[starts]
+        return pa.table(
+            {
+                "node": pa.array(u),
+                "r": pa.array(base + sums),
+                "bucket": pa.array(_bucket_of(u, num_buckets)),
+            }
+        )
+
+    for _ in range(iters):
+        ranks = (
+            edges_deg.union(ranks.map_batches(tag_ranks, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(contribs, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(sum_per_node, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({out_node: batch["node"], out_rank: batch["r"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow").sort(out_node)

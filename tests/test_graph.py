@@ -74,3 +74,58 @@ def test_label_is_component_min():
     got = _run(pairs)
     assert got[5] == got[9] == got[2] == 2
     assert got[50] == got[60] == 50
+
+
+def test_pagerank_int_vs_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from azure_blob_crawler_ray.pipelines.graph import pagerank_int
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 120).astype(np.int64)
+    b = rng.integers(0, 40, 120).astype(np.int64)
+    keep = a != b
+    edges = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])})
+    )
+    got = pagerank_int(edges, iters=3).to_pandas()
+
+    # brute-force integer oracle
+    u = np.concatenate([a[keep], b[keep]])
+    v = np.concatenate([b[keep], a[keep]])
+    nodes = np.unique(u)
+    n = len(nodes)
+    idx = {x: i for i, x in enumerate(nodes)}
+    ui = np.array([idx[x] for x in u])
+    vi = np.array([idx[x] for x in v])
+    deg = np.bincount(ui, minlength=n).astype(np.int64)
+    scale = 1_000_000_000_000
+    r = np.full(n, scale // n, dtype=np.int64)
+    base = (3 * scale) // (20 * n)
+    for _ in range(3):
+        contrib = (17 * r[ui]) // (20 * deg[ui])
+        r = base + np.bincount(vi, weights=None, minlength=n) * 0  # init
+        r = base + np.zeros(n, dtype=np.int64)
+        np.add.at(r, vi, contrib)
+    assert dict(zip(got["doc_id"], got["rank_scaled"])) == dict(
+        zip(nodes.tolist(), r.tolist())
+    )
+
+
+def test_pagerank_partitioning_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from azure_blob_crawler_ray.pipelines.graph import pagerank_int
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 30, 80).astype(np.int64)
+    b = rng.integers(0, 30, 80).astype(np.int64)
+    keep = a != b
+    t = pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])})
+    e1 = ray.data.from_arrow(t)
+    e2 = ray.data.from_arrow(t).repartition(5)
+    g1 = pagerank_int(e1, iters=3).to_pandas()
+    g2 = pagerank_int(e2, iters=3, num_buckets=3).to_pandas()
+    assert g1.equals(g2)

@@ -266,6 +266,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_id", "ts", "value"])
         )
 
+    def q_inter_event_gaps(sf):
+        return relational.inter_event_gaps(
+            _read(sf, "events", ["user_id", "event_id", "ts"])
+        )
+
+    def q_event_transitions(sf):
+        return relational.event_transitions(
+            _read(sf, "events", ["user_id", "event_id", "event_type", "ts"])
+        )
+
+    def q_regex_match_stats(sf):
+        return dataprep.regex_match_stats(_read(sf, "documents", ["lang", "text"]))
+
     def q_length_histogram(sf):
         return dataprep.length_histogram(_read(sf, "documents", ["n_chars"]))
 
@@ -792,6 +805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_daily": q_unpivot_daily,
         "lang_sources": q_lang_sources,
         "pagerank": q_pagerank,
+        "inter_event_gaps": q_inter_event_gaps,
+        "event_transitions": q_event_transitions,
+        "regex_match_stats": q_regex_match_stats,
     }
 
 
@@ -1739,5 +1755,48 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS event_count
             FROM s GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # gaps stay exact int64 microseconds; the single SUM/COUNT divide
+        # mirrors the engine's one final divide before the 6-decimal round.
+        "inter_event_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6) AS avg_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "event_transitions": """
+            WITH g AS (
+                SELECT event_type AS next_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM g WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+        """,
+        # DuckDB's regex engine is RE2, same as pyarrow's
+        # count_substring_regex — non-overlapping match counts agree.
+        "regex_match_stats": """
+            WITH per_doc AS (
+                SELECT lang,
+                       CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS BIGINT) AS cnt
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_with_match,
+                   CAST(SUM(cnt) AS BIGINT) AS total_matches,
+                   CAST(MAX(cnt) AS BIGINT) AS max_per_doc
+            FROM per_doc GROUP BY lang ORDER BY lang
         """,
     }

@@ -1611,3 +1611,56 @@ def lang_sources(docs: ray.data.Dataset) -> ray.data.Dataset:
         .map_groups(finish, batch_format="pandas")
         .sort("lang")
     )
+
+
+def regex_match_stats(
+    docs: ray.data.Dataset,
+    *,
+    pattern: str = "[a-z]{8,}",
+) -> ray.data.Dataset:
+    """Vectorized regex extraction rollup — per language: documents with
+    >=1 match of ``pattern``, total non-overlapping matches, and the
+    per-doc maximum.  The shape every PII-scrub / boilerplate-detect /
+    contamination-scan pass takes over a text corpus: a compiled-regex
+    count per document followed by a tiny keyed rollup.
+
+    Vectorization: ``pyarrow.compute.count_substring_regex`` runs RE2
+    over the whole Arrow column in C++ — no Python per row, no
+    ``re`` module in the hot path.  DuckDB's regex is also RE2, so
+    ``len(regexp_extract_all(text, pattern))`` is count-for-count
+    identical and serves as the oracle.
+
+    Scale shape: per-batch partial (lang -> 3 counters) BEFORE the
+    shuffle; only (langs x batches) rows move."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = pc.count_substring_regex(batch["text"], pattern=pattern).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "cnt": cnt,
+                "has": (cnt > 0).astype(np.int64),
+            }
+        )
+        agg = df.groupby("lang", sort=False).agg(
+            n_docs=("cnt", "size"),
+            docs_with_match=("has", "sum"),
+            total_matches=("cnt", "sum"),
+            max_per_doc=("cnt", "max"),
+        )
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    return (
+        docs.select_columns(["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("docs_with_match", alias_name="docs_with_match"),
+            Sum("total_matches", alias_name="total_matches"),
+            Max("max_per_doc", alias_name="max_per_doc"),
+        )
+        .sort("lang")
+    )

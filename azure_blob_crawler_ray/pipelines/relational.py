@@ -2092,3 +2092,152 @@ def unpivot_daily(
         )
 
     return wide.map_batches(melt, batch_format="pyarrow").sort(["day", "event_type"])
+
+
+def inter_event_gaps(
+    events: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """LAG window — per-user statistics of the time gap between
+    consecutive events ordered by (ts, event_id): SQL's
+    ``epoch - LAG(epoch) OVER (PARTITION BY user ORDER BY ts, event_id)``
+    aggregated to (n_gaps, avg_gap_us, max_gap_us) per user.  The
+    inter-arrival distribution is the standard sessionization /
+    politeness-tuning input (the crawl engine's per-host min-heap keys
+    on exactly this quantity); completes the window family next to the
+    frame (``moving_avg_per_user``) and cumulative variants.
+
+    Users with fewer than two events produce no gaps and are absent —
+    same as SQL's ``WHERE gap IS NOT NULL``.
+
+    Shape: one shuffle on hash(user) % num_buckets, then ONE vectorized
+    pass per bucket — sort, int64 diff, mask first-row-per-user, pandas
+    groupby sum/count/max.  Gaps stay exact int64 microseconds until the
+    single final divide, so the 6-decimal round matches the oracle
+    bit-for-bit."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": pc.cast(batch["ts"], pa.int64()),
+                "bucket": pa.array(b),
+            }
+        )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                    "avg_gap_us": pd.Series([], dtype=np.float64),
+                    "max_gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        same_user = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        g = pd.DataFrame({"user_id": uid[same_user], "gap": gap[same_user]})
+        agg = g.groupby("user_id", sort=False)["gap"].agg(["count", "sum", "max"])
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(np.int64),
+                "n_gaps": agg["count"].to_numpy(np.int64),
+                "avg_gap_us": np.round(
+                    agg["sum"].to_numpy(np.float64) / agg["count"].to_numpy(np.float64),
+                    6,
+                ),
+                "max_gap_us": agg["max"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fn, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+def event_transitions(
+    events: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Markov transition counts — for each user's event stream ordered by
+    (ts, event_id), count every consecutive (prev_type -> next_type) pair
+    globally: SQL's ``LAG(event_type) OVER (PARTITION BY user ORDER BY
+    ts, event_id)`` followed by GROUP BY (prev, next).  The first-order
+    behavioral transition matrix a sequence-modeling pipeline derives
+    before training (and the crawl analogue of link-follow statistics).
+
+    Shape: shuffle #1 on a coarse user-hash bucket (consecutive-pair
+    detection needs a user co-located and sorted), vectorized shift +
+    per-bucket pandas combine down to at most |types|^2 rows per bucket,
+    then shuffle #2 over that tiny partial — raw pairs never re-shuffle."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        b = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "ts": pc.cast(batch["ts"], pa.int64()),
+                "bucket": pa.array(b),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=object),
+                    "next_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        same_user = np.r_[False, uid[1:] == uid[:-1]]
+        pairs = pd.DataFrame(
+            {
+                "prev_type": np.r_[[""], et[:-1]][same_user],
+                "next_type": et[same_user],
+            }
+        )
+        out = (
+            pairs.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        events.select_columns(["user_id", "event_id", "event_type", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["prev_type", "next_type"])
+    )

@@ -279,6 +279,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_regex_match_stats(sf):
         return dataprep.regex_match_stats(_read(sf, "documents", ["lang", "text"]))
 
+    def q_triangles(sf):
+        from azure_blob_crawler_ray.pipelines import graph
+
+        pairs = dataprep.ngram_jaccard_pairs(
+            _read(sf, "documents", ["doc_id", "text"]),
+            ngram=12,
+            threshold=0.35,
+            max_posting=200,
+        )
+        return graph.triangles(pairs)
+
+    def q_weighted_sample(sf):
+        return dataprep.weighted_sample(
+            _read(sf, "documents", ["doc_id", "text", "n_chars"])
+        )
+
     def q_length_histogram(sf):
         return dataprep.length_histogram(_read(sf, "documents", ["n_chars"]))
 
@@ -808,6 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inter_event_gaps": q_inter_event_gaps,
         "event_transitions": q_event_transitions,
         "regex_match_stats": q_regex_match_stats,
+        "triangles": q_triangles,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1798,5 +1816,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cnt) AS BIGINT) AS total_matches,
                    CAST(MAX(cnt) AS BIGINT) AS max_per_doc
             FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        # threshold 0.35 (vs the dedup family's 0.5) so the near-dup
+        # graph is dense enough to close triangles at test scale.
+        "triangles": f"""
+            WITH {_NGRAM_CTES}, pairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.35
+            )
+            SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+            FROM pairs p1
+            JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+            JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b
+            ORDER BY a, b, c
+        """,
+        # A-Res priority sampling: u from the first 8 md5 hex chars as a
+        # uniform in (0,1], ordered by the monotone-equivalent ln(u)/w.
+        "weighted_sample": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY ln((CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) + 1)
+                        / 4294967296.0) / n_chars DESC, doc_id
+            LIMIT 100
         """,
     }

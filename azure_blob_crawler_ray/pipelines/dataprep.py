@@ -1664,3 +1664,59 @@ def regex_match_stats(
         )
         .sort("lang")
     )
+
+
+def weighted_sample(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 100,
+    weight_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling without replacement — the A-Res
+    priority-sampling scheme (Efraimidis & Spirakis, IPL 2006): each
+    document gets priority u^(1/w) for uniform u and weight w, and the
+    k highest priorities are the sample; P(doc in sample) is
+    proportional-to-weight.  Here u is content-keyed (md5 of the text,
+    first 8 hex chars, as a uniform in (0,1]) so the same corpus always
+    yields the same sample regardless of sharding or order — the
+    training-data property that makes sampling reproducible across
+    engines, and what lets DuckDB serve as the oracle.
+
+    Ordering is by the monotone-equivalent ln(u)/w (one libm call
+    instead of a pow); the selected SET is what crosses the conformance
+    boundary, so only the k-th/(k+1)-th boundary gap matters for
+    cross-engine agreement — measured ≥1e-5 at sf0.01, ~11 orders above
+    double noise.
+
+    Shape: a distributed top-k — per-block partial top-k (vectorized
+    argpartition-equivalent via sort+head), then one tiny sort+limit
+    over <= k * num_blocks rows.  No corpus-wide shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fps = md5_hex(batch["text"].to_pylist())
+        h = np.array([int(f[:8], 16) for f in fps], dtype=np.float64)
+        u = (h + 1.0) / 4294967296.0
+        w = batch[weight_col].to_numpy().astype(np.float64)
+        ok = w > 0
+        key = np.full(len(u), -np.inf)
+        key[ok] = np.log(u[ok]) / w[ok]
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "w": batch[weight_col].to_numpy().astype(np.int64),
+                "key": key,
+            }
+        )[ok]
+        df = df.sort_values(["key", "doc_id"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["key"])
+
+    return (
+        docs.select_columns(["doc_id", "text", weight_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .map_batches(finish, batch_format="pyarrow")
+    )

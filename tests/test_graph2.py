@@ -1,0 +1,108 @@
+"""Triangle enumeration and weighted (A-Res) sampling vs brute-force
+oracles at sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.pipelines import dataprep, graph
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def near_dup_pairs():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dataprep.ngram_jaccard_pairs(
+        docs, ngram=12, threshold=0.35, max_posting=200
+    ).materialize()
+
+
+def _triangle_oracle(pairs_pd):
+    adj = {}
+    for a, b in zip(pairs_pd["doc_a"], pairs_pd["doc_b"]):
+        adj.setdefault(a, set()).add(b)
+    out = []
+    for a in adj:
+        for b, c in itertools.combinations(sorted(adj[a]), 2):
+            if c in adj.get(b, ()):
+                out.append((a, b, c))
+    return sorted(out)
+
+
+def test_triangles(near_dup_pairs):
+    got = graph.triangles(near_dup_pairs).to_pandas()
+    want = _triangle_oracle(near_dup_pairs.to_pandas())
+    assert list(zip(got["a"], got["b"], got["c"])) == want
+    assert len(want) > 0  # the fixture graph must actually close triangles
+
+
+def test_triangles_partitioning_invariant(near_dup_pairs):
+    a = graph.triangles(near_dup_pairs).to_pandas()
+    b = graph.triangles(near_dup_pairs.repartition(5), num_buckets=3).to_pandas()
+    assert a.equals(b)
+
+
+def test_triangles_synthetic_hub():
+    # K4 on {1,2,3,4} plus a hub 0 connected to everything: K5 = 10 triangles.
+    edges = [(a, b) for a, b in itertools.combinations(range(5), 2)]
+    ds = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in edges])
+    got = graph.triangles(ds).to_pandas()
+    assert len(got) == 10
+    # max_degree below the hub's out-degree (4) drops its wedges — the
+    # documented loud-skip bound — leaving the triangles whose apex
+    # degree fits: apexes 1 (deg 3), 2 (deg 2).
+    capped = graph.triangles(ds, max_degree=3).to_pandas()
+    assert list(zip(capped["a"], capped["b"], capped["c"])) == _triangle_oracle(
+        ray.data.from_items(
+            [{"doc_a": a, "doc_b": b} for a, b in edges if a != 0]
+        ).to_pandas()
+    )
+
+
+def _ares_oracle(docs_pd, k=100):
+    keys = []
+    for r in docs_pd.itertuples():
+        if r.n_chars <= 0:
+            continue
+        h = int(hashlib.md5(r.text.encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967296.0
+        keys.append((np.log(u) / r.n_chars, r.doc_id, r.n_chars))
+    keys.sort(key=lambda t: (-t[0], t[1]))
+    return keys[:k], keys[k : k + 1]
+
+
+def test_weighted_sample(docs_pd_module=None):
+    docs_pd = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    got = dataprep.weighted_sample(
+        ray.data.read_parquet(f"{SF}/documents.parquet")
+    ).to_pandas()
+    want, nxt = _ares_oracle(docs_pd)
+    assert list(zip(got["doc_id"], got["w"])) == [(d, w) for _, d, w in want]
+    # boundary margin between the k-th and (k+1)-th priority must dwarf
+    # double noise, or cross-engine libm differences could flip the set
+    if nxt:
+        assert want[-1][0] - nxt[0][0] > 1e-9
+
+
+def test_weighted_sample_sharding_invariant():
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    a = dataprep.weighted_sample(ds).to_pandas()
+    b = dataprep.weighted_sample(ds.repartition(7)).to_pandas()
+    assert a.equals(b)
+
+
+def test_weighted_sample_is_weight_biased():
+    docs_pd = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    got = dataprep.weighted_sample(
+        ray.data.read_parquet(f"{SF}/documents.parquet"), k=100
+    ).to_pandas()
+    # expected inclusion scales with weight: the sampled mean weight must
+    # exceed the corpus mean (500 docs, k=100 — a huge margin in practice)
+    assert got["w"].mean() > docs_pd["n_chars"].mean()

@@ -370,10 +370,32 @@ def top_orders_per_customer(
     orders: ray.data.Dataset, *, k: int = 2, num_buckets: int = 64
 ) -> ray.data.Dataset:
     """Grouped top-k (window-rank shape): each customer's k highest-value
-    orders. Shuffles on a COARSE hash bucket of custkey (one map_groups
+    orders. A map-side per-key head-k combiner (any row ranked > k
+    within one block is > k globally — same skew bound as the crawl's
+    ``_local_host_cap``) caps the shuffle at k rows per (customer,
+    block), so a hot key costs k x num_blocks rows in the exchange, not
+    its full row count. Then ONE coarse-bucket shuffle (one map_groups
     call per bucket, not per customer); inside the bucket the rank is
     one vectorized pass over the (custkey, -price, orderkey)-sorted
     frame. Ties break by orderkey ascending."""
+
+    def _rank_sorted(df: pd.DataFrame) -> np.ndarray:
+        ck = df["o_custkey"].to_numpy().astype(np.int64)
+        new = np.r_[True, ck[1:] != ck[:-1]]
+        first = np.flatnonzero(new)
+        run_len = np.diff(np.r_[first, len(ck)])
+        return np.arange(len(ck), dtype=np.int64) - np.repeat(first, run_len) + 1
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        if len(df) == 0:
+            return batch
+        keep = _rank_sorted(df) <= k
+        return pa.Table.from_pandas(df.iloc[keep, :], preserve_index=False)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         ck = batch["o_custkey"].to_numpy().astype(np.uint64)
@@ -388,11 +410,7 @@ def top_orders_per_customer(
             ascending=[True, False, True],
             kind="mergesort",
         )
-        ck = df["o_custkey"].to_numpy().astype(np.int64)
-        new = np.r_[True, ck[1:] != ck[:-1]]
-        first = np.flatnonzero(new)
-        run_len = np.diff(np.r_[first, len(ck)])
-        rank = np.arange(len(ck), dtype=np.int64) - np.repeat(first, run_len) + 1
+        rank = _rank_sorted(df)
         keep = rank <= k
         out = df.iloc[keep, :].copy()
         out["rank"] = rank[keep]
@@ -400,6 +418,7 @@ def top_orders_per_customer(
 
     return (
         orders.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(topk, batch_format="pandas")

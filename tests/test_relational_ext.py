@@ -136,3 +136,31 @@ def test_bm25_ranks_term_docs_first():
         assert "data" in t or "join" in t
     # scores are descending
     assert (np.diff(got["score_e6"].to_numpy()) <= 0).all()
+
+
+def test_grouped_topk_hot_key_prune():
+    # one pathological customer holds 90% of all orders, split across
+    # many small blocks — the map-side head-k combiner must still yield
+    # exactly the global top-k per key
+    n_hot, n_cold = 9000, 1000
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "o_custkey": np.r_[np.zeros(n_hot, np.int64),
+                               rng.randint(1, 200, n_cold).astype(np.int64)],
+            "o_orderkey": np.arange(n_hot + n_cold, dtype=np.int64),
+            "o_totalprice": rng.uniform(1, 1e6, n_hot + n_cold).round(2),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(40)
+    got = relational.top_orders_per_customer(ds, k=3).to_pandas()
+    want = (
+        df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                       ascending=[True, False, True])
+        .groupby("o_custkey")
+        .head(3)
+    )
+    want = want.assign(
+        rank=want.groupby("o_custkey").cumcount() + 1
+    )[["o_custkey", "rank", "o_orderkey", "o_totalprice"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -174,6 +174,12 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "moving_avg",
         "tfidf_top_terms",
         "nearest_centroid",
+        "top_orders_per_customer",
+        "inter_event_gaps",
+        "event_transitions",
+        "regex_match_stats",
+        "weighted_sample",
+        "pagerank",
     ]
     out = {}
     for name in names:

@@ -295,6 +295,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "text", "n_chars"])
         )
 
+    def q_approx_quantiles(sf):
+        return dataprep.approx_quantiles(
+            _read(sf, "lineitem", ["l_returnflag", "l_extendedprice"]),
+            value_col="l_extendedprice",
+            group_col="l_returnflag",
+        )
+
     def q_length_histogram(sf):
         return dataprep.length_histogram(_read(sf, "documents", ["n_chars"]))
 
@@ -826,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_match_stats": q_regex_match_stats,
         "triangles": q_triangles,
         "weighted_sample": q_weighted_sample,
+        "approx_quantiles": q_approx_quantiles,
     }
 
 
@@ -1832,6 +1840,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
             JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b
             ORDER BY a, b, c
+        """,
+        # The DDSketch histogram is deterministic, so the SQL twin
+        # recomputes the identical log-gamma buckets; gamma must be
+        # forced to DOUBLE (DuckDB decimal literals would diverge).
+        "approx_quantiles": """
+            WITH g AS (SELECT CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE) AS gamma),
+            b AS (
+                SELECT l_returnflag AS grp,
+                       CAST(CEIL(LN(l_extendedprice) / LN(gamma)) AS BIGINT) AS bucket
+                FROM lineitem, g WHERE l_extendedprice > 0
+            ), h AS (
+                SELECT grp, bucket, COUNT(*) AS n FROM b GROUP BY grp, bucket
+            ), c AS (
+                SELECT grp, bucket,
+                       SUM(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                       SUM(n) OVER (PARTITION BY grp) AS total
+                FROM h
+            ), sel AS (
+                SELECT grp, q, MIN(bucket) AS bucket
+                FROM c JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+                  ON cum >= CEIL(q * total)
+                GROUP BY grp, q
+            )
+            SELECT grp, q,
+                   ROUND(2 * POWER(g.gamma, bucket) / (g.gamma + 1), 6) AS value,
+                   CAST(0 AS BIGINT) AS n_dropped
+            FROM sel, g ORDER BY grp, q
         """,
         # A-Res priority sampling: u from the first 8 md5 hex chars as a
         # uniform in (0,1], ordered by the monotone-equivalent ln(u)/w.

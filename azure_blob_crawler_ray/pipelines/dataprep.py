@@ -1720,3 +1720,91 @@ def weighted_sample(
         .limit(k)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    qs: Tuple[float, ...] = (0.5, 0.9, 0.99),
+    rel_err: float = 0.01,
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles with a bounded RELATIVE error —
+    the 100 TB scale path next to the exact ``relational.group_quantiles``
+    (which needs a per-group sort / full value-count exchange; fine for
+    bounded-domain ints, corpus-sized for continuous values).
+
+    Sketch: DDSketch-style logarithmic buckets (Masson, Rim & Lee,
+    "DDSketch: a fast and fully-mergeable quantile sketch with
+    relative-error guarantees", VLDB'19): bucket(x) = ceil(log_gamma x)
+    with gamma = (1+a)/(1-a); returning the bucket midpoint
+    2*gamma^i/(gamma+1) guarantees |est - true| <= a * true for any
+    positive value.  The sketch is a (bucket -> count) map — fully
+    mergeable by addition, so the pipeline is: per-batch vectorized
+    bincount partial -> groupby(group, bucket) Sum -> per-group
+    cumulative walk over its OWN tiny histogram (at most a few hundred
+    buckets span any float range).  Only histogram-sized data ever
+    shuffles; nothing corpus-sized moves or sorts.
+
+    Quantile rule matches PERCENTILE_DISC rank ceil(q*n) so the test can
+    compare against the exact operator.  Requires value_col > 0 (log
+    buckets); nonpositive rows are dropped loudly via the n_dropped
+    column on every output row."""
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    log_gamma = np.log(gamma)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        pos = v > 0
+        dropped = int((~pos).sum())
+        idx = np.ceil(np.log(v[pos]) / log_gamma).astype(np.int64)
+        df = (
+            pd.DataFrame({"grp": g[pos], "bucket": idx})
+            .groupby(["grp", "bucket"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        df["n_dropped"] = 0
+        if dropped and len(df):
+            df.loc[0, "n_dropped"] = dropped
+        elif dropped:
+            df = pd.DataFrame(
+                {"grp": [g[0]], "bucket": [0], "n": [0], "n_dropped": [dropped]}
+            )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_q, out_v, out_d = [], [], [], []
+        total_dropped = int(df["n_dropped"].sum())
+        for grp, gdf in df[df["n"] > 0].groupby("grp", sort=True):
+            gdf = gdf.sort_values("bucket")
+            counts = gdf["n"].to_numpy(np.int64)
+            buckets = gdf["bucket"].to_numpy(np.int64)
+            cum = np.cumsum(counts)
+            n = cum[-1]
+            for q in qs:
+                rank = max(int(np.ceil(q * n)), 1)
+                i = int(np.searchsorted(cum, rank))
+                # round-6 so the DuckDB twin (POWER vs numpy **, <=1 ulp
+                # apart) hashes identically
+                mid = float(np.round(2.0 * (gamma ** buckets[i]) / (gamma + 1.0), 6))
+                out_g.append(grp)
+                out_q.append(q)
+                out_v.append(mid)
+                out_d.append(total_dropped)
+        return pd.DataFrame(
+            {"grp": out_g, "q": out_q, "value": out_v, "n_dropped": out_d}
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["grp", "bucket"])
+        .aggregate(Sum("n", alias_name="n"), Sum("n_dropped", alias_name="n_dropped"))
+        .repartition(1)  # histogram-sized, not data-sized
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+        .sort(["grp", "q"])
+    )

@@ -106,3 +106,52 @@ def test_weighted_sample_is_weight_biased():
     # expected inclusion scales with weight: the sampled mean weight must
     # exceed the corpus mean (500 docs, k=100 — a huge margin in practice)
     assert got["w"].mean() > docs_pd["n_chars"].mean()
+
+
+def test_approx_quantiles_relative_error():
+    li = ray.data.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    got = dataprep.approx_quantiles(
+        li, value_col="l_extendedprice", group_col="l_returnflag", rel_err=0.01
+    ).to_pandas()
+    exact_pd = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pandas()
+    assert got["n_dropped"].eq(0).all()
+    checked = 0
+    for r in got.itertuples():
+        vals = np.sort(
+            exact_pd[exact_pd["l_returnflag"] == r.grp]["l_extendedprice"].to_numpy()
+        )
+        true = vals[max(int(np.ceil(r.q * len(vals))), 1) - 1]
+        assert abs(r.value - true) <= 0.0101 * true, (r.grp, r.q, r.value, true)
+        checked += 1
+    assert checked == 9  # 3 groups x 3 quantiles
+
+
+def test_approx_quantiles_merge_invariant():
+    li = ray.data.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    a = dataprep.approx_quantiles(
+        li, value_col="l_extendedprice", group_col="l_returnflag"
+    ).to_pandas()
+    b = dataprep.approx_quantiles(
+        li.repartition(17), value_col="l_extendedprice", group_col="l_returnflag"
+    ).to_pandas()
+    assert a.equals(b)  # sketch merge is exact addition — sharding-invariant
+
+
+def test_approx_quantiles_drops_nonpositive_loudly():
+    ds = ray.data.from_items(
+        [{"g": "x", "v": 0.0}, {"g": "x", "v": -3.0}]
+        + [{"g": "x", "v": float(i)} for i in range(1, 101)]
+    )
+    got = dataprep.approx_quantiles(ds, value_col="v", group_col="g").to_pandas()
+    assert got["n_dropped"].eq(2).all()
+    med = got[got["q"] == 0.5]["value"].iloc[0]
+    assert abs(med - 50) <= 0.0101 * 50 + 1  # midpoint rule on small ints

@@ -81,3 +81,4 @@ class CrawlConfig:
     emit_index: bool = True         # run chunk->embed->index stages per wave
     inject_faults: bool = True      # deterministic transient/permanent fetch failures
     max_fetch_attempts: int = 3     # then dead-letter (ref retry defaults, settings.py:42)
+    redirect_every: int = 0         # 1/N URLs 301-redirect to a derived target (0 = off)

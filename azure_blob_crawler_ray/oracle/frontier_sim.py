@@ -163,6 +163,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
         n_docs = 0
         n_retried = 0
         n_dead = 0
+        n_redirected = 0
         attempts_arr = np.asarray(frontier["attempts"])
         for fetch_ms, i in admitted:
             url = urls[i]
@@ -186,6 +187,17 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 else:
                     n_dead += 1
                     res.dead_letter.append((wave, url, 503, att))
+                continue
+            uarr = np.array([uid], dtype=np.int64)
+            if synth.redirect_mask(uarr, cfg)[0]:
+                # 301: no document; the Location target is a link
+                # discovery at depth+1 (mirrors stages/parse.py)
+                n_redirected += 1
+                target = synth.urls_for(synth.redirect_target_uids(uarr, cfg), cfg)[0][0]
+                d = int(np.asarray(frontier["depth"])[i]) + 1
+                wave_links.append(target)
+                if target not in link_depth or d < link_depth[target]:
+                    link_depth[target] = d
                 continue
             payload, _ct = synth.payload_for(uid, cfg)
             blob_name = url.replace("https://", "").partition("/")[2]
@@ -248,6 +260,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 "deferred": len(deferred),
                 "retried": n_retried,
                 "dead_lettered": n_dead,
+                "redirected": n_redirected,
             }
         )
         frontier = {

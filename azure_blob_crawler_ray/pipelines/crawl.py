@@ -520,13 +520,16 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             status = batch["status"].to_numpy(zero_copy_only=False)
             attempts = batch["attempts"].to_numpy(zero_copy_only=False)
             skipped = batch["skipped"].to_numpy(zero_copy_only=False)
-            failed = status != 200
+            # 301 is neither a document nor a failure — its target is a
+            # link discovery handled by the explode path
+            failed = (status != 200) & (status != 301)
             retry = failed & (status == 503) & (attempts < maxa)
             return pa.table(
                 {
                     "docs": pa.array([int((~skipped).sum())], type=pa.int64()),
                     "retried": pa.array([int(retry.sum())], type=pa.int64()),
                     "dead": pa.array([int((failed & ~retry).sum())], type=pa.int64()),
+                    "redirected": pa.array([int((status == 301).sum())], type=pa.int64()),
                 }
             )
 
@@ -543,6 +546,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         m["docs"] = int(cnt["docs"])
         m["retried"] = int(cnt["retried"])
         m["dead_lettered"] = int(cnt["dead"])
+        m["redirected"] = int(cnt["redirected"])
         _tick("docs_write")
 
         if cfg.emit_index:
@@ -565,7 +569,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # then dead-letter; permanent codes dead-letter immediately
         # (the reference acks BlobNotFound and skips — we additionally
         # record it, ref servicebus_processor.py:221-231).
-        failed = parsed.filter(expr="status != 200")
+        failed = parsed.filter(expr="status != 200 and status != 301")
         retries = failed.filter(
             expr=f"status == 503 and attempts < {cfg.max_fetch_attempts - 1}"
         ).map_batches(_bump_attempts, batch_format="pyarrow")

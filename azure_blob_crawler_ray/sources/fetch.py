@@ -64,19 +64,29 @@ class SyntheticFetcher:
             transient_fail = attempts < k
         else:
             transient_fail = np.zeros(len(uids), dtype=bool)
+        # 301 redirects: deterministic subset of the universe serves a
+        # Location header instead of content (checked after the fault
+        # gate — a flaky redirect 503s first, redirects once reachable)
+        redirected = synth.redirect_mask(uids, self.cfg) & (uids >= 0) & ~transient_fail
+        redirect_to = np.full(len(uids), "", dtype=object)
+        if redirected.any():
+            tgt = synth.redirect_target_uids(uids[redirected], self.cfg)
+            redirect_to[redirected] = synth.urls_for(tgt, self.cfg)[0]
         payloads = []
         ctypes = []
-        for uid, fail in zip(uids, transient_fail):
-            if uid < 0 or fail:
+        for uid, fail, redir in zip(uids, transient_fail, redirected):
+            if uid < 0 or fail or redir:
                 payloads.append(b"")
                 ctypes.append("")
                 continue
             p, ct = synth.payload_for(int(uid), self.cfg)
             payloads.append(p)
             ctypes.append(ct)
-        status = np.where(uids < 0, 404, np.where(transient_fail, 503, 200)).astype(
-            np.int32
-        )
+        status = np.where(
+            uids < 0,
+            404,
+            np.where(transient_fail, 503, np.where(redirected, 301, 200)),
+        ).astype(np.int32)
         # blob_name = URL path without leading slash (container≡host):
         # the reference's (container, blob) split, ref servicebus_processor.py:189-192
         blobs = [u.replace("https://", "").partition("/")[2] for u in urls]
@@ -84,4 +94,5 @@ class SyntheticFetcher:
             .append_column("status", pa.array(status)) \
             .append_column("content_type", pa.array(ctypes, type=pa.string())) \
             .append_column("blob_name", pa.array(blobs, type=pa.string())) \
-            .append_column("payload", pa.array(payloads, type=pa.large_binary()))
+            .append_column("payload", pa.array(payloads, type=pa.large_binary())) \
+            .append_column("redirect_to", pa.array(redirect_to.tolist(), type=pa.string()))

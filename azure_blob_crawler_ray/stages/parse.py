@@ -37,6 +37,11 @@ def parse_extract(batch: pa.Table) -> pa.Table:
         if "status" in batch.column_names
         else [200] * batch.num_rows
     )
+    redirects = (
+        batch["redirect_to"].to_pylist()
+        if "redirect_to" in batch.column_names
+        else [""] * batch.num_rows
+    )
 
     doc_ids: List[str] = []
     exts: List[str] = []
@@ -44,13 +49,16 @@ def parse_extract(batch: pa.Table) -> pa.Table:
     spans_col: List[list] = []
     links_col: List[list] = []
     skipped: List[bool] = []
-    for bn, payload, url, st in zip(blob_names, payloads, urls, statuses):
+    for bn, payload, url, st, rt in zip(blob_names, payloads, urls, statuses, redirects):
         if st != 200:
             doc_ids.append(doc_id_of(bn))
             exts.append(extension_of(bn))
             fulls.append("")
             spans_col.append([])
-            links_col.append([])
+            # a 301 is not a document but IS a link discovery: its
+            # Location target enters the frontier at depth+1 through the
+            # same explode -> seen anti-join path as in-content links
+            links_col.append([rt] if st == 301 and rt else [])
             skipped.append(True)
             continue
         ex = extract(bn, payload or b"", media_ref=url)

@@ -230,6 +230,22 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
     return raw.tobytes(), "application/octet-stream"
 
 
+def redirect_mask(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    """True for uids that 301-redirect instead of serving content —
+    1/``redirect_every`` of the universe, deterministic in (seed, uid).
+    Disabled (all False) when ``redirect_every`` <= 0, so default-config
+    conformance digests are unchanged."""
+    if cfg.redirect_every <= 0 or len(uids) == 0:
+        return np.zeros(len(uids), dtype=bool)
+    return (derive(uids, 41, cfg.seed) % _U64(cfg.redirect_every)) == 0
+
+
+def redirect_target_uids(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    """Deterministic redirect target per uid, never the uid itself."""
+    t = (derive(uids, 43, cfg.seed) % _U64(cfg.universe - 1)).astype(np.int64)
+    return np.where(t >= uids, t + 1, t)
+
+
 def fail_threshold(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
     """Deterministic per-URL failure profile for fetch fault injection:
     number of leading attempts that fail with a transient 503.

@@ -82,3 +82,4 @@ class CrawlConfig:
     inject_faults: bool = True      # deterministic transient/permanent fetch failures
     max_fetch_attempts: int = 3     # then dead-letter (ref retry defaults, settings.py:42)
     redirect_every: int = 0         # 1/N URLs 301-redirect to a derived target (0 = off)
+    max_depth: int = 0              # drop discovered links deeper than this (0 = unlimited)

@@ -219,7 +219,10 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                         link_depth[link] = d
 
         # 7. dedupe fresh links (first occurrence per url string kept,
-        #    depth = min over discoverers)
+        #    depth = min over discoverers); links beyond max_depth are
+        #    dropped BEFORE the seen probe (mirrors _explode_links)
+        if cfg.max_depth > 0:
+            wave_links = [u for u in wave_links if link_depth[u] <= cfg.max_depth]
         uniq_links = sorted(set(wave_links), key=lambda u: (int(hash64([canonical_url(u)])[0]), u))
         fresh_mask = seen_add(uniq_links) if uniq_links else np.zeros(0, dtype=bool)
         fresh_links = [u for u, f in zip(uniq_links, fresh_mask) if f]

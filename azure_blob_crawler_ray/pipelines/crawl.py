@@ -215,7 +215,7 @@ def _probe_router(actors: List, wave: int):
     return fn
 
 
-def _explode_links(wave: int, num_seen_shards: int):
+def _explode_links(wave: int, num_seen_shards: int, max_depth: int = 0):
     def fn(batch: pa.Table) -> pa.Table:
         # Fully vectorized: Arrow list flatten -> np.unique in-batch
         # pre-dedupe (min depth per url, the combiner before the seen-set
@@ -242,6 +242,13 @@ def _explode_links(wave: int, num_seen_shards: int):
             uniq, inv = np.unique(urls_np, return_inverse=True)
             mindep = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(mindep, inv, dep_all)
+            if max_depth > 0:
+                # trap guard: links beyond max_depth never reach the
+                # seen probe (so a later, shallower discovery can still
+                # crawl them). Safe as an in-batch pre-filter: dropping
+                # depth > max rows cannot change a surviving min.
+                keep = mindep <= max_depth
+                uniq, mindep = uniq[keep], mindep[keep]
             dep = mindep.astype(np.int32)
             ua = pa.array(uniq.tolist(), type=pa.string())
             _, canon = split_canonical_arrow(ua)
@@ -588,7 +595,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # runs AND a narrower sort-merge fan in the seen groupby) without
         # an extra exchange
         links = parsed.map_batches(
-            _explode_links(wave, cfg.num_seen_shards),
+            _explode_links(wave, cfg.num_seen_shards, cfg.max_depth),
             batch_format="pyarrow",
             batch_size=max(4096, cfg.wave_budget // shuffle_width),
         )

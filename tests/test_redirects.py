@@ -112,3 +112,24 @@ def test_redirect_mask_off_is_all_false():
     assert 0.1 < frac < 0.3  # ~1/5 of the universe
     t = synth.redirect_target_uids(uids, cfg5)
     assert (t != uids).all() and (t >= 0).all() and (t < cfg5.universe).all()
+
+
+def test_max_depth_caps_frontier():
+    out = "/tmp/abc_test_maxdepth"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = _cfg(out, redirect_every=0, max_depth=1, max_waves=3)
+    r = run_crawl(cfg)
+    sim = simulate_crawl(cfg)
+    order = read_crawl_order(cfg.out_dir, r.waves_run).to_pandas()
+    assert list(zip(order["wave"], order["url"])) == [
+        (w, u) for (w, _ms, u) in sim.order
+    ]
+    assert np.array_equal(r.seen_digest, sim.seen_digest)
+    docs = _raw_docs(cfg.out_dir, r.waves_run)
+    assert (docs["depth"] <= 1).all()
+    assert (docs["depth"] == 1).any()  # depth-1 links were crawled
+    assert sorted(sim.final_frontier) == sorted(
+        read_table_arrow(
+            f"{out}/ckpt/wave-{r.waves_run[-1]:04d}/frontier"
+        ).to_pandas()["url"]
+    )

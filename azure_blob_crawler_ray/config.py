@@ -83,3 +83,6 @@ class CrawlConfig:
     max_fetch_attempts: int = 3     # then dead-letter (ref retry defaults, settings.py:42)
     redirect_every: int = 0         # 1/N URLs 301-redirect to a derived target (0 = off)
     max_depth: int = 0              # drop discovered links deeper than this (0 = unlimited)
+    mirror_every: int = 0           # 1/N URLs serve mirrored (group-shared) content (0 = off)
+    mirror_groups: int = 16         # distinct mirror content groups
+    dedup_content: bool = False     # cross-wave content-fingerprint dedup of documents

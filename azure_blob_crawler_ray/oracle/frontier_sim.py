@@ -91,6 +91,34 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
     next_vtime: Dict[str, int] = {}
     delay_ms = {h: r["crawl_delay_ms"] for h, r in robots.items()}
 
+    # content-dedup shards (mirror detection): same cuckoo structure and
+    # per-wave sorted-unique add as the engine's content actors
+    content_shards = (
+        [CuckooFilter(cfg.cuckoo_buckets) for _ in range(cfg.num_seen_shards)]
+        if cfg.dedup_content
+        else None
+    )
+
+    def content_probe(fps: List[int]) -> np.ndarray:
+        """Keeper mask over fp OCCURRENCES (in admitted order): first
+        occurrence of a wave-fresh fingerprint keeps, everything else
+        (same-wave repeats, or fps from earlier waves) is a dup."""
+        arr = np.array(fps, dtype=np.uint64)
+        keeper = np.zeros(len(arr), dtype=bool)
+        sh = (arr % np.uint64(cfg.num_seen_shards)).astype(np.int64)
+        for s in range(cfg.num_seen_shards):
+            idx = np.flatnonzero(sh == s)
+            if not len(idx):
+                continue
+            uniq = np.unique(arr[idx])
+            fresh_u = content_shards[s].add_many(uniq)
+            fresh_set = set(uniq[fresh_u].tolist())
+            for i in idx:
+                if int(arr[i]) in fresh_set:
+                    keeper[i] = True
+                    fresh_set.discard(int(arr[i]))
+        return keeper
+
     seeds = synth.seed_uids(cfg)
     frontier = _frontier_from_uids(seeds, cfg, depth=0, wave=0)
     seen_add(frontier["url"])  # seeds are discovered
@@ -164,6 +192,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
         n_retried = 0
         n_dead = 0
         n_redirected = 0
+        doc_buffer: List[tuple] = []  # (doc dict, content_fp)
         attempts_arr = np.asarray(frontier["attempts"])
         for fetch_ms, i in admitted:
             url = urls[i]
@@ -203,20 +232,40 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
             blob_name = url.replace("https://", "").partition("/")[2]
             ex = extract(blob_name, payload, media_ref=url)
             if not ex.skipped and ex.full_content.strip():
-                n_docs += 1
-                res.documents.append(
-                    {
-                        "doc_id": doc_id_of(blob_name),
-                        "url": url,
-                        "wave": wave,
-                        "spans": ex.spans(),
-                    }
+                # buffered: content-dedup (if on) needs the whole wave's
+                # fingerprints probed in ONE sorted-unique pass per shard
+                # (mirrors the engine's per-wave actor call); links are
+                # followed regardless of dup status
+                doc_buffer.append(
+                    (
+                        {
+                            "doc_id": doc_id_of(blob_name),
+                            "url": url,
+                            "wave": wave,
+                            "spans": ex.spans(),
+                        },
+                        int(hash64([ex.full_content])[0]),
+                    )
                 )
                 d = int(np.asarray(frontier["depth"])[i]) + 1
                 for link in extract_links(ex.full_content):
                     wave_links.append(link)
                     if link not in link_depth or d < link_depth[link]:
                         link_depth[link] = d
+
+        # 6b. content dedup: keepers emit documents, dups are counted
+        n_content_dups = 0
+        if cfg.dedup_content and doc_buffer:
+            keep = content_probe([fp for _d, fp in doc_buffer])
+            n_content_dups = int((~keep).sum())
+            for (d, _fp), k in zip(doc_buffer, keep):
+                if k:
+                    n_docs += 1
+                    res.documents.append(d)
+        else:
+            for d, _fp in doc_buffer:
+                n_docs += 1
+                res.documents.append(d)
 
         # 7. dedupe fresh links (first occurrence per url string kept,
         #    depth = min over discoverers); links beyond max_depth are
@@ -264,6 +313,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 "retried": n_retried,
                 "dead_lettered": n_dead,
                 "redirected": n_redirected,
+                "content_dups": n_content_dups,
             }
         )
         frontier = {

@@ -215,6 +215,52 @@ def _probe_router(actors: List, wave: int):
     return fn
 
 
+def _add_content_shard(num_shards: int):
+    """Shard id for the content-dedup probe; skipped rows get -1 (their
+    fp is 0 and must never enter the probe)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fp = batch["content_fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sk = batch["skipped"].to_numpy(zero_copy_only=False)
+        sh = (fp % np.uint64(num_shards)).astype(np.int32)
+        sh[sk] = -1
+        return batch.append_column("content_shard", pa.array(sh))
+
+    return fn
+
+
+def _content_router(actors: List, wave: int):
+    """map_groups fn: cross-wave content dedup. Per shard, ONE sorted-
+    unique cuckoo probe of the wave's content fingerprints; the keeper of
+    a fresh fp is its first occurrence in (fetch_ms, url_hash) order —
+    the same canonical order the crawl fetches in — every other carrier
+    of the fp (this wave or any earlier one) is marked content_dup."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        shard = int(t["content_shard"][0].as_py())
+        if shard < 0:
+            return t  # skipped rows: content_dup stays False
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("content_fp", "ascending"),
+                ("fetch_ms", "ascending"),
+                ("url_hash", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        fp = t["content_fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        first = np.r_[True, fp[1:] != fp[:-1]]
+        fresh = ray.get(actors[shard].check_add.remote(fp[first], wave))
+        keeper = np.zeros(len(fp), dtype=bool)
+        keeper[np.flatnonzero(first)[fresh]] = True
+        i = t.schema.get_field_index("content_dup")
+        return t.set_column(i, "content_dup", pa.array(~keeper))
+
+    return fn
+
+
 def _explode_links(wave: int, num_seen_shards: int, max_depth: int = 0):
     def fn(batch: pa.Table) -> pa.Table:
         # Fully vectorized: Arrow list flatten -> np.unique in-batch
@@ -339,6 +385,13 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         for i in range(cfg.num_sched_shards)
     ]
     seen = [SeenShard.remote(i, cfg.cuckoo_buckets) for i in range(cfg.num_seen_shards)]
+    # content-seen shards (mirror dedup): same cuckoo actor class, own
+    # hash domain (content fingerprints, not URL hashes)
+    content = (
+        [SeenShard.remote(100 + i, cfg.cuckoo_buckets) for i in range(cfg.num_seen_shards)]
+        if cfg.dedup_content
+        else []
+    )
 
     # ---- resume: last wave whose checkpoint committed ----
     start_wave = 0
@@ -351,6 +404,9 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         wdir = os.path.join(ckpt, f"wave-{last_ok:04d}")
         for i, a in enumerate(seen):
             with open(os.path.join(wdir, f"seen-{i:02d}.bin"), "rb") as f:
+                ray.get(a.restore.remote(f.read()))
+        for i, a in enumerate(content):
+            with open(os.path.join(wdir, f"content-{i:02d}.bin"), "rb") as f:
                 ray.get(a.restore.remote(f.read()))
         import json
 
@@ -482,7 +538,19 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             batch_format="pyarrow",
             batch_size=256,
         )
-        parsed = parse_stage(fetched).materialize()
+        parsed = parse_stage(fetched)
+        if cfg.dedup_content:
+            parsed = (
+                parsed.map_batches(
+                    _add_content_shard(cfg.num_seen_shards),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .groupby("content_shard")
+                .map_groups(_content_router(content, wave), batch_format="pyarrow")
+                .drop_columns(["content_shard"])
+            )
+        parsed = parsed.materialize()
         m["admitted"] = parsed.count()  # metadata count on materialized
         _tick("admit_fetch_parse")
 
@@ -527,16 +595,18 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             status = batch["status"].to_numpy(zero_copy_only=False)
             attempts = batch["attempts"].to_numpy(zero_copy_only=False)
             skipped = batch["skipped"].to_numpy(zero_copy_only=False)
+            cdup = batch["content_dup"].to_numpy(zero_copy_only=False)
             # 301 is neither a document nor a failure — its target is a
             # link discovery handled by the explode path
             failed = (status != 200) & (status != 301)
             retry = failed & (status == 503) & (attempts < maxa)
             return pa.table(
                 {
-                    "docs": pa.array([int((~skipped).sum())], type=pa.int64()),
+                    "docs": pa.array([int((~skipped & ~cdup).sum())], type=pa.int64()),
                     "retried": pa.array([int(retry.sum())], type=pa.int64()),
                     "dead": pa.array([int((failed & ~retry).sum())], type=pa.int64()),
                     "redirected": pa.array([int((status == 301).sum())], type=pa.int64()),
+                    "content_dups": pa.array([int(cdup.sum())], type=pa.int64()),
                 }
             )
 
@@ -554,6 +624,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         m["retried"] = int(cnt["retried"])
         m["dead_lettered"] = int(cnt["dead"])
         m["redirected"] = int(cnt["redirected"])
+        m["content_dups"] = int(cnt["content_dups"])
         _tick("docs_write")
 
         if cfg.emit_index:
@@ -562,8 +633,13 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             # fetch stage is already finished (parsed is materialized),
             # so the index stages can own the whole machine.
             pool = (1, max(8, ncpu))
+            to_index = docs
+            if cfg.dedup_content:
+                # content dups never reach the index (the canonical copy
+                # already did / will in its own wave)
+                to_index = docs.filter(expr="content_dup == False")
             chunks = chunk_stage(
-                docs.select_columns(["doc_id", "ext", "full_content", "spans"]),
+                to_index.select_columns(["doc_id", "ext", "full_content", "spans"]),
                 cfg.chunk_max_tokens,
                 concurrency=pool,
             )
@@ -625,6 +701,11 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         for i, b in enumerate(blobs):
             with open(os.path.join(wdir, f"seen-{i:02d}.bin"), "wb") as f:
                 f.write(b)
+        if content:
+            cblobs = ray.get([a.snapshot.remote() for a in content])
+            for i, b in enumerate(cblobs):
+                with open(os.path.join(wdir, f"content-{i:02d}.bin"), "wb") as f:
+                    f.write(b)
         frontier = read_table(os.path.join(wdir, "frontier"))
         m["fresh_plus_deferred"] = frontier.count()
         _tick("ckpt")

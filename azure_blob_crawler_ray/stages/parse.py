@@ -15,10 +15,12 @@ from __future__ import annotations
 
 from typing import List
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.links import extract_links
 from ..functions.urlnorm import doc_id_of
+from ..hashing import hash64
 from ..oracle.ref_extract import extract, extension_of
 from ..schemas import SPAN_STRUCT
 
@@ -84,4 +86,16 @@ def parse_extract(batch: pa.Table) -> pa.Table:
     out = out.append_column("spans", pa.array(spans_col, type=pa.list_(SPAN_STRUCT)))
     out = out.append_column("links", pa.array(links_col, type=pa.list_(pa.string())))
     out = out.append_column("skipped", pa.array(skipped, type=pa.bool_()))
+    # content fingerprint for mirror/syndication dedup (0 for skipped
+    # rows — they never enter the content-seen probe); content_dup is
+    # overwritten by the crawl loop's probe when cfg.dedup_content is on
+    fp = np.where(
+        np.array(skipped, dtype=bool),
+        np.uint64(0),
+        hash64(pa.array(fulls, type=pa.string())),  # read-only view — don't mutate
+    )
+    out = out.append_column("content_fp", pa.array(fp, type=pa.uint64()))
+    out = out.append_column(
+        "content_dup", pa.array(np.zeros(len(fp), dtype=bool))
+    )
     return out

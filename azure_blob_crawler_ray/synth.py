@@ -183,8 +183,12 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
     """
     uarr = np.array([uid], dtype=np.int64)
     ext = str(ext_for(uarr, cfg)[0])
-    rng = np.random.Generator(np.random.PCG64(int(derive(uarr, 5, cfg.seed)[0])))
-    targets = link_targets_for(uarr, cfg)[0]
+    # content identity: ext comes from the REAL uid (it is in the URL),
+    # but all content derivation (rng stream, embedded links) keys off
+    # the effective content uid so mirrored pages are byte-identical
+    carr = content_uid_of(uarr, cfg)
+    rng = np.random.Generator(np.random.PCG64(int(derive(carr, 5, cfg.seed)[0])))
+    targets = link_targets_for(carr, cfg)[0]
     link_urls = urls_for(targets, cfg)[0] if len(targets) else []
     link_lines = [f"LINK: {u}" for u in link_urls]
 
@@ -228,6 +232,21 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
     # bin: opaque bytes, no links
     raw = rng.integers(0, 256, int(rng.integers(64, 2048)), dtype=np.uint8)
     return raw.tobytes(), "application/octet-stream"
+
+
+def content_uid_of(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    """Effective content identity per uid: mirrored uids (1/``mirror_every``
+    of the universe) share one of ``mirror_groups`` representatives, so two
+    mirrored URLs with the same (group, ext) serve byte-identical payloads
+    — the synthetic analogue of mirror sites / syndicated pages that a
+    content-dedup stage must catch.  Representatives live ABOVE the real
+    universe so a mirror never collides with a real page's content.
+    Identity (uids unchanged) when ``mirror_every`` <= 0."""
+    if cfg.mirror_every <= 0 or len(uids) == 0:
+        return uids
+    m = (derive(uids, 47, cfg.seed) % _U64(cfg.mirror_every)) == 0
+    grp = (derive(uids, 49, cfg.seed) % _U64(max(cfg.mirror_groups, 1))).astype(np.int64)
+    return np.where(m, np.int64(cfg.universe) + grp, uids)
 
 
 def redirect_mask(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:

@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "text", "n_chars"])
         )
 
+    def q_fuzzy_pairs(sf):
+        return dataprep.fuzzy_pairs(_read(sf, "customer", ["c_name"]))
+
     def q_approx_quantiles(sf):
         return dataprep.approx_quantiles(
             _read(sf, "lineitem", ["l_returnflag", "l_extendedprice"]),
@@ -834,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "weighted_sample": q_weighted_sample,
         "approx_quantiles": q_approx_quantiles,
+        "fuzzy_pairs": q_fuzzy_pairs,
     }
 
 
@@ -1867,6 +1871,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2 * POWER(g.gamma, bucket) / (g.gamma + 1), 6) AS value,
                    CAST(0 AS BIGINT) AS n_dropped
             FROM sel, g ORDER BY grp, q
+        """,
+        "fuzzy_pairs": """
+            WITH v AS (SELECT DISTINCT c_name AS t FROM customer)
+            SELECT a.t AS name_a, b.t AS name_b
+            FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
+            ORDER BY name_a, name_b
         """,
         # A-Res priority sampling: u from the first 8 md5 hex chars as a
         # uniform in (0,1], ordered by the monotone-equivalent ln(u)/w.

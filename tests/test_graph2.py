@@ -155,3 +155,50 @@ def test_approx_quantiles_drops_nonpositive_loudly():
     assert got["n_dropped"].eq(2).all()
     med = got[got["q"] == 0.5]["value"].iloc[0]
     assert abs(med - 50) <= 0.0101 * 50 + 1  # midpoint rule on small ints
+
+
+def _lev1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if abs(la - lb) != 1:
+        return False
+    s, t = (a, b) if la < lb else (b, a)
+    k = 0
+    while k < len(s) and s[k] == t[k]:
+        k += 1
+    return t[:k] + t[k + 1 :] == s
+
+
+def test_fuzzy_pairs_vs_bruteforce():
+    names = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_name"]
+    ).to_pandas()["c_name"].tolist()
+    got = dataprep.fuzzy_pairs(
+        ray.data.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    ).to_pandas()
+    uniq = sorted(set(names))
+    want = [
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if _lev1(a, b)
+    ]
+    assert list(zip(got["name_a"], got["name_b"])) == sorted(want)
+    assert len(want) > 100  # sf0.001 names must produce a real workload
+
+
+def test_fuzzy_pairs_insert_delete_and_substitution():
+    rows = [{"c_name": n} for n in
+            ["abc", "abcd", "azc", "abc", "xyz", "ab", "qrstu"]]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = dataprep.fuzzy_pairs(ds, num_buckets=4).to_pandas()
+    have = set(zip(got["name_a"], got["name_b"]))
+    assert have == {
+        ("ab", "abc"),    # deletion
+        ("abc", "abcd"),  # insertion
+        ("abc", "azc"),   # substitution
+    }
+    assert ("ab", "azc") not in have  # distance 2 must not leak through

@@ -655,6 +655,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=NEAR_DUP_THRESHOLD,
         )
 
+    def q_quant_topk(sf):
+        return similarity.quantized_topk(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            num_queries=NUM_ANN_QUERIES,
+            k=ANN_K,
+        )
+
     def q_ivf_topk(sf):
         return similarity.ivf_topk(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -838,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "approx_quantiles": q_approx_quantiles,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "quant_topk": q_quant_topk,
     }
 
 

@@ -474,3 +474,71 @@ def nearest_centroid(
         )
 
     return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantized_topk(
+    emb: ray.data.Dataset,
+    *,
+    num_queries: int = 8,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k over int8-quantized vectors — the memory
+    scale path for broadcast vector search: symmetric per-vector
+    quantization (q8 = round(v / max|v| * 127), one float scale per
+    vector) stores the database side in 1/4 the bytes of float32 (1/8 of
+    float64), which at 100 TB is the difference between an in-object-
+    store broadcast table and one that spills.  Scores are
+    (q8 @ q) * scale — the standard int8 dot-product kernel, computed
+    here in float64 so block layout cannot perturb the merge order.
+
+    Same distributed shape as ``brute_force_topk`` (per-block partial
+    top-k against the broadcast query matrix, tiny exact merge); recall
+    vs the exact operator is reported by bench.py (cosine after L2
+    normalization concentrates near 1, so rank flips are confined to
+    near-ties)."""
+    qids, qm = load_queries(emb, num_queries)
+    q_ref = ray.put(qm.T)  # (dim, Q) float64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch))
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        amax = np.abs(m).max(axis=1, keepdims=True)
+        amax[amax == 0] = 1.0
+        q8 = np.clip(np.rint(m / amax * 127.0), -127, 127)
+        sims = (q8 @ qt) * (amax / 127.0)  # (n, Q)
+        kk = min(k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            top = top[np.lexsort((ids[top], -s[top]))]
+            out_q.append(np.full(len(top), j, dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        g = parts[parts["qi"] == j]
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["score"].to_numpy()))[:k]
+        chosen = g.iloc[order]
+        rows_q.extend([int(qid)] * len(chosen))
+        rows_r.extend(range(1, len(chosen) + 1))
+        rows_v.extend(chosen["vec_id"].astype(np.int64).tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "rank": pa.array(rows_r, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+            }
+        )
+    )

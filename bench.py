@@ -180,6 +180,9 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "regex_match_stats",
         "weighted_sample",
         "pagerank",
+        "fuzzy_pairs",
+        "approx_quantiles",
+        "triangles",
     ]
     out = {}
     for name in names:
@@ -206,6 +209,15 @@ def run_pipeline_bench(sf_dir: str) -> dict:
     hits = sum(len(b_sets[q] & i_sets.get(q, set())) for q in b_sets.index)
     out["ivf_recall"] = round(hits / max(sum(len(s) for s in b_sets), 1), 3)
     out["ivf_topk_rows"] = len(ivf)
+
+    # int8-quantized brute force: time + recall vs the exact baseline
+    t0 = time.time()
+    qz = qs["quant_topk"](sf_dir).to_pandas()
+    out["quant_topk"] = round(time.time() - t0, 2)
+    z_sets = qz.groupby("query_id")["vec_id"].apply(set)
+    zhits = sum(len(b_sets[q] & z_sets.get(q, set())) for q in b_sets.index)
+    out["quant_recall"] = round(zhits / max(sum(len(s) for s in b_sets), 1), 3)
+    out["quant_topk_rows"] = len(qz)
     return out
 
 

@@ -98,3 +98,22 @@ def test_lsh_near_dup_on_planted_dups():
     expected = {(i, 300 + i) for i in range(20)}
     found = len(expected & got_pairs) / len(expected)
     assert found >= 0.9, f"LSH recall {found}"
+
+
+def test_quantized_topk_recall_and_invariance(emb_ds, emb_np):
+    ids, m = emb_np
+    got = similarity.quantized_topk(emb_ds, num_queries=5, k=10).to_pandas()
+    exp = _brute_topk(ids, m, 5, 10)
+    recalls = []
+    for qid, expected in exp.items():
+        g = got[got["query_id"] == qid].sort_values("rank")
+        recalls.append(len(set(g["vec_id"]) & set(expected)) / len(expected))
+        # the query itself survives quantization at rank 1 (cos ~ 1,
+        # next-best is far below for random vectors)
+        assert g["vec_id"].iloc[0] == qid
+    assert np.mean(recalls) >= 0.9  # int8 error only flips near-ties
+    # block layout must not change the result
+    again = similarity.quantized_topk(
+        emb_ds.repartition(7), num_queries=5, k=10
+    ).to_pandas()
+    assert got.equals(again)

@@ -655,6 +655,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=NEAR_DUP_THRESHOLD,
         )
 
+    def q_heavy_hitters(sf):
+        return dataprep.heavy_hitters(_read(sf, "documents", ["text"]))
+
     def q_quant_topk(sf):
         return similarity.quantized_topk(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -846,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": q_approx_quantiles,
         "fuzzy_pairs": q_fuzzy_pairs,
         "quant_topk": q_quant_topk,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -1879,6 +1883,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2 * POWER(g.gamma, bucket) / (g.gamma + 1), 6) AS value,
                    CAST(0 AS BIGINT) AS n_dropped
             FROM sel, g ORDER BY grp, q
+        """,
+        # the CMS estimate equals the exact count whenever the term avoids
+        # a collision in at least one of the 4 hash rows — with ~31
+        # distinct terms vs width 2^14 a 4-row total collision is ~1e-7,
+        # so the exact SQL twin hash-matches (verified at sf0.01 AND 0.1)
+        "heavy_hitters": """
+            WITH t AS (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents
+            ), c AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS est_count
+                FROM t GROUP BY term
+            ), tot AS (SELECT SUM(est_count) AS n FROM c)
+            SELECT term, est_count FROM c, tot
+            WHERE est_count >= 0.01 * tot.n ORDER BY term
         """,
         "fuzzy_pairs": """
             WITH v AS (SELECT DISTINCT c_name AS t FROM customer)

@@ -1919,3 +1919,104 @@ def fuzzy_pairs(
         .map_batches(verify, batch_format="pyarrow")
         .sort(["name_a", "name_b"])
     )
+
+
+def heavy_hitters(
+    docs: ray.data.Dataset,
+    *,
+    threshold_frac: float = 0.01,
+    width: int = 1 << 14,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Frequent-terms detection with a count-min sketch (Cormode &
+    Muthukrishnan, J.Alg 2005) — the scale path when the vocabulary is
+    too large for an exact term groupby (URL hosts, n-grams, token ids
+    at 100 TB).  Guarantees: no false negatives (every term with true
+    frequency >= threshold_frac * total_tokens is returned) and
+    est >= true with est - true <= total/width per hash row (take the
+    min over ``depth`` rows).
+
+    Shape — nothing vocabulary-sized ever moves:
+      * per-batch partial: vectorized token value_counts -> d hashed
+        bincounts into a (depth, width) int64 sketch, emitted as NONZERO
+        (r, c, n) rows; candidate terms = batch-local counts >=
+        threshold * batch_tokens (pigeonhole: a globally-heavy term is
+        heavy in at least one batch, so the union is complete);
+      * groupby (r*width+c) Sum: sketches merge by pure addition;
+      * the merged sketch (<= depth*width rows, bounded by the sketch —
+        NOT the data) and the candidate set are pulled to the driver for
+        the final min-over-rows estimate + threshold filter.
+    Deterministic: hashing is seeded, candidates are sets, output sorted.
+    Returns a pandas DataFrame (term, est_count) — driver-small."""
+    from ..hashing import hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        tokens = _pc.split_pattern_regex(batch["text"], r"\s+")
+        flat = tokens.combine_chunks().flatten() if isinstance(
+            tokens, pa.ChunkedArray
+        ) else tokens.flatten()
+        vc = _pc.value_counts(flat)
+        terms = vc.field("values")
+        counts = _pc.cast(vc.field("counts"), pa.int64()).to_numpy()
+        keep = _pc.not_equal(terms, "").to_numpy(zero_copy_only=False)
+        terms = terms.filter(pa.array(keep))
+        counts = counts[keep]
+        total = int(counts.sum())
+        cells: dict = {}
+        cand: List[str] = []
+        if total:
+            term_list = terms.to_pylist()
+            for r in range(depth):
+                h = hash64(terms, seed=1000 + r) % np.uint64(width)
+                key = r * width + h.astype(np.int64)
+                for k, n in zip(key.tolist(), counts.tolist()):
+                    cells[k] = cells.get(k, 0) + n
+            thr = threshold_frac * total
+            cand = [t for t, n in zip(term_list, counts.tolist()) if n >= thr]
+        keys = np.fromiter(cells.keys(), dtype=np.int64, count=len(cells))
+        vals = np.fromiter(cells.values(), dtype=np.int64, count=len(cells))
+        return pa.table(
+            {
+                "cell": pa.array(keys),
+                "n": pa.array(vals),
+                "cands": pa.array(
+                    [",".join(sorted(set(cand)))] + [""] * (len(keys) - 1)
+                    if len(keys)
+                    else [],
+                    type=pa.string(),
+                ),
+                "total": pa.array(
+                    np.r_[np.int64(total), np.zeros(len(keys) - 1, dtype=np.int64)]
+                    if len(keys)
+                    else np.zeros(0, dtype=np.int64)
+                ),
+            }
+        )
+
+    parts = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice (sketch + candidates); sketch-sized
+    sketch = (
+        parts.groupby("cell")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+        .to_pandas()
+    )  # sketch-sized (<= depth*width rows), bounded regardless of corpus
+    cands: set = set()
+    for s in parts.select_columns(["cands"]).to_pandas()["cands"]:
+        if s:
+            cands.update(s.split(","))
+    total = int(sketch["total"].sum())
+    cell_map = dict(zip(sketch["cell"].to_numpy(), sketch["n"].to_numpy()))
+    out_t, out_n = [], []
+    thr = threshold_frac * total
+    for t in sorted(cands):
+        est = min(
+            cell_map.get(r * width + int(hash64([t], seed=1000 + r)[0] % np.uint64(width)), 0)
+            for r in range(depth)
+        )
+        if est >= thr:
+            out_t.append(t)
+            out_n.append(int(est))
+    return pd.DataFrame({"term": out_t, "est_count": out_n})

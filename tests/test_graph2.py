@@ -202,3 +202,31 @@ def test_fuzzy_pairs_insert_delete_and_substitution():
         ("abc", "azc"),   # substitution
     }
     assert ("ab", "azc") not in have  # distance 2 must not leak through
+
+
+def test_heavy_hitters_cms_guarantees():
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    got = dataprep.heavy_hitters(docs, threshold_frac=0.01)
+    # exact truth
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).to_pandas()["text"]
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        cnt.update(w for w in t.split() if w)
+    total = sum(cnt.values())
+    heavy = {w for w, n in cnt.items() if n >= 0.01 * total}
+    have = dict(zip(got["term"], got["est_count"]))
+    # no false negatives
+    assert heavy <= set(have)
+    # overestimate-only, bounded by total/width per CMS row
+    for w, est in have.items():
+        assert est >= cnt[w]
+        assert est - cnt[w] <= total / (1 << 14) + 1
+    # sharding invariance
+    again = dataprep.heavy_hitters(docs.repartition(9), threshold_frac=0.01)
+    assert got.equals(again)

@@ -683,6 +683,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         )
 
+    def q_dup_ngram_coverage(sf):
+        return dataprep.dup_ngram_coverage(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_gopher_quality(sf):
+        return dataprep.gopher_quality(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_intra_doc_repetition(sf):
+        return dataprep.intra_doc_repetition(
+            _read(sf, "documents", ["doc_id", "text"])
+        )
+
     def q_media_features(sf):
         import pyarrow as pa
 
@@ -850,6 +861,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "quant_topk": q_quant_topk,
         "heavy_hitters": q_heavy_hitters,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "gopher_quality": q_gopher_quality,
+        "intra_doc_repetition": q_intra_doc_repetition,
     }
 
 
@@ -1914,5 +1928,65 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ln((CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) + 1)
                         / 4294967296.0) / n_chars DESC, doc_id
             LIMIT 100
+        """,
+        # Lee et al. substring-dedup signal at 5-gram granularity: a gram
+        # is duplicated when >= 2 distinct docs carry it; dup_ngrams
+        # counts a doc's gram POSITIONS whose gram is duplicated.
+        "dup_ngram_coverage": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+                FROM toks,
+                     LATERAL unnest(range(1, GREATEST(len(w) - 3, 1))) AS t(i)
+            ), per_doc AS (
+                SELECT doc_id, g, COUNT(*) AS occ FROM grams GROUP BY doc_id, g
+            ), dupg AS (
+                SELECT g FROM per_doc GROUP BY g HAVING COUNT(*) >= 2
+            )
+            SELECT p.doc_id,
+                   CAST(SUM(p.occ) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(SUM(CASE WHEN d.g IS NOT NULL THEN p.occ END), 0)
+                        AS BIGINT) AS dup_ngrams
+            FROM per_doc p LEFT JOIN dupg d ON p.g = d.g
+            GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        # Gopher composite quality rules, integer-exact (x10 scaling)
+        "gopher_quality": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+                FROM documents
+            ), per AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_words,
+                       CAST(SUM(length(w)) AS BIGINT) AS total_word_chars,
+                       CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct_words,
+                       CAST(SUM(CASE WHEN w IN ('the','a','and','of','to')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+                FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, total_word_chars, distinct_words, stop_hits,
+                   CAST(CASE WHEN n_words >= 40
+                              AND 10 * total_word_chars >= 38 * n_words
+                              AND 10 * total_word_chars <= 48 * n_words
+                              AND stop_hits >= 1
+                              AND 10 * distinct_words >= 4 * n_words
+                         THEN 1 ELSE 0 END AS INTEGER) AS kept
+            FROM per ORDER BY doc_id
+        """,
+        # Gopher within-doc repetition inputs: total vs distinct bigrams
+        "intra_doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                FROM toks,
+                     LATERAL unnest(range(1, GREATEST(len(w), 1))) AS t(i)
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams
+            FROM grams GROUP BY doc_id ORDER BY doc_id
         """,
     }

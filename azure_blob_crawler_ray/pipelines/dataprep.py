@@ -2020,3 +2020,284 @@ def heavy_hitters(
             out_t.append(t)
             out_n.append(int(est))
     return pd.DataFrame({"term": out_t, "est_count": out_n})
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: duplicate-n-gram coverage, composite quality filter,
+# intra-document repetition (the Rae et al. "Gopher" rule family and the
+# Lee et al. "Deduplicating Training Data" substring-dedup signal at
+# n-gram granularity) — beyond the reference, which curates only via
+# deterministic ids + idempotent upsert (ref document_processor.py:328).
+# ---------------------------------------------------------------------------
+
+
+def _token_slices(batch: pa.Table):
+    """(vals, starts, lens): per-doc word slices over the flattened
+    whitespace-split token array. ``split_pattern_regex(r'\\s+')`` yields
+    an empty token only at a doc's first/last slot (leading/trailing
+    whitespace); those are trimmed so the token set equals the SQL twin's
+    ``regexp_extract_all(text, '\\S+')``."""
+    tokens = pc.split_pattern_regex(batch["text"], r"\s+")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    off = tokens.offsets.to_numpy().astype(np.int64)
+    vals = tokens.values
+    starts, ends = off[:-1].copy(), off[1:].copy()
+    if len(vals):
+        bl = pc.binary_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+        ne = ends > starts
+        starts = starts + (ne & (bl[np.where(ne, starts, 0)] == 0))
+        ne = ends > starts
+        ends = ends - (ne & (bl[np.where(ne, ends - 1, 0)] == 0))
+    return vals, starts, np.maximum(ends - starts, 0)
+
+
+def _window_starts(starts: np.ndarray, lens: np.ndarray, n: int):
+    """(flat_left, windows_per_doc): flat indices of every length-``n``
+    token window start, per doc — np.repeat/arange offset arithmetic,
+    no Python loop (the bigram_counts pattern generalized)."""
+    G = np.maximum(lens - (n - 1), 0)
+    total = int(G.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), G
+    left = (
+        np.repeat(starts, G)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(G) - G, G)
+    )
+    return left, G
+
+
+def _join_ngrams(vals: pa.Array, left: np.ndarray, n: int) -> pa.Array:
+    parts = [vals.take(pa.array(left + k)) for k in range(n)]
+    return pc.binary_join_element_wise(*parts, " ")
+
+
+def dup_ngram_coverage(
+    docs: ray.data.Dataset, *, n: int = 5, min_docs: int = 2, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-document duplicate-n-gram coverage: how many of a doc's word
+    ``n``-grams occur in >= ``min_docs`` distinct documents corpus-wide —
+    the substring-dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") at n-gram granularity,
+    the form a 100 TB curation pass actually materializes before
+    deciding span removal.
+
+    Output: (doc_id, n_ngrams, dup_ngrams) for every doc with >= 1
+    n-gram. All-integer, so the DuckDB oracle hash-matches exactly.
+
+    Scale shape — the only all-to-all moves PRE-AGGREGATED rows:
+      1. map: per batch, form n-grams vectorized (offset arithmetic +
+         Arrow take/join) and collapse to DISTINCT (doc_id, gram, occ)
+         rows via Arrow C++ group_by — the map-side combiner;
+      2. one groupby on a coarse gram-hash bucket (~``num_buckets``
+         uniform groups); within a bucket a vectorized pandas groupby
+         finds grams with >= min_docs carriers and emits per-doc
+         partial dup counts;
+      3. one doc_id groupby sums partials with the per-doc gram totals
+         (union trick: both sides carry both columns, zero-filled).
+    Nothing row-scale touches the driver; skewed grams cost one bucket
+    row each, and buckets are hash-uniform."""
+
+    def grams_partial(batch: pa.Table) -> pa.Table:
+        vals, starts, lens = _token_slices(batch)
+        left, G = _window_starts(starts, lens, n)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(left) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int32()),
+                    "g": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "occ": pa.array([], type=pa.int64()),
+                }
+            )
+        g = _join_ngrams(vals, left, n)
+        t = pa.table({"doc_id": pa.array(np.repeat(did, G)), "g": g})
+        agg = t.group_by(["doc_id", "g"]).aggregate([("g", "count")])
+        bucket = (hash64(agg["g"].combine_chunks()) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "g": agg["g"],
+                "doc_id": agg["doc_id"],
+                "occ": pc.cast(agg["g_count"], pa.int64()),
+            }
+        )
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        carriers = df.groupby("g")["doc_id"].transform("size")
+        dup = df[carriers >= min_docs]
+        out = dup.groupby("doc_id", as_index=False)["occ"].sum()
+        # Arrow out (the union partner is an Arrow-block dataset; mixed
+        # block types break the aggregate's boundary sampling)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy().astype(np.int64)),
+                "n_ngrams": pa.array(np.zeros(len(out), dtype=np.int64)),
+                "dup_ngrams": pa.array(out["occ"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        _vals, _starts, lens = _token_slices(batch)
+        G = np.maximum(lens - (n - 1), 0)
+        keep = G > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_ngrams": pa.array(G[keep]),
+                "dup_ngrams": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    proj = docs.select_columns(["doc_id", "text"])
+    dups = (
+        proj.map_batches(grams_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    base = proj.map_batches(base_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        base.union(dups)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_ngrams", alias_name="n_ngrams"),
+            Sum("dup_ngrams", alias_name="dup_ngrams"),
+        )
+        .sort("doc_id")
+    )
+
+
+def _per_doc_distinct(did: np.ndarray, g: pa.Array) -> Dict[int, int]:
+    """doc_id -> distinct count of ``g`` values, via Arrow C++ group_by
+    (exact string grouping, no Python per row)."""
+    t = pa.table({"doc_id": pa.array(did), "g": g})
+    agg = t.group_by(["doc_id", "g"]).aggregate([])
+    vc = pc.value_counts(agg["doc_id"].combine_chunks())
+    return dict(
+        zip(
+            vc.field("values").to_numpy(zero_copy_only=False),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+        )
+    )
+
+
+def gopher_quality(
+    docs: ray.data.Dataset,
+    *,
+    min_words: int = 40,
+    mean_len_lo_x10: int = 38,
+    mean_len_hi_x10: int = 48,
+    min_stop_hits: int = 1,
+    min_distinct_x10: int = 4,
+    stopwords: Tuple[str, ...] = ("the", "a", "and", "of", "to"),
+) -> ray.data.Dataset:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1):
+    per doc the rule inputs (word count, total word chars, distinct
+    words, stopword hits) and an integer ``kept`` verdict:
+
+      kept = n_words >= min_words
+           AND mean_len_lo_x10*n_words <= 10*total_word_chars
+                                       <= mean_len_hi_x10*n_words
+           AND stop_hits >= min_stop_hits
+           AND 10*distinct_words >= min_distinct_x10*n_words
+
+    All comparisons are integer-exact (the x10 scaling avoids float
+    ratios), so the DuckDB oracle hash-matches. MAP-ONLY — one pass,
+    no shuffle: every signal is per-document, computed vectorized
+    (cumsum segment sums + one Arrow group_by per batch for the
+    distinct counts). Docs with zero words are dropped (the SQL twin's
+    unnest produces no rows for them)."""
+    stop_set = pa.array(list(stopwords), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals, starts, lens = _token_slices(batch)
+        ends = starts + lens
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vals):
+            bl = pc.binary_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+            sh = pc.is_in(vals, value_set=stop_set).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            bl = np.zeros(0, dtype=np.int64)
+            sh = np.zeros(0, dtype=np.int64)
+        cb = np.r_[0, np.cumsum(bl)]
+        cs = np.r_[0, np.cumsum(sh)]
+        total_chars = cb[ends] - cb[starts]
+        stop_hits = cs[ends] - cs[starts]
+        keep = lens > 0
+        # distinct words per doc (Arrow C++ group_by over this batch's
+        # tokens; rows are whole docs, so per-batch is per-doc exact).
+        # Token indices come from the window helper with n=1 — the same
+        # loop-free offset arithmetic the n-gram ops use.
+        tok_idx, _G1 = _window_starts(starts, lens, 1)
+        dmap = (
+            _per_doc_distinct(np.repeat(did, lens), vals.take(pa.array(tok_idx)))
+            if len(tok_idx)
+            else {}
+        )
+        distinct = np.array([dmap.get(d, 0) for d in did], dtype=np.int64)
+        kept = (
+            (lens >= min_words)
+            & (10 * total_chars >= mean_len_lo_x10 * lens)
+            & (10 * total_chars <= mean_len_hi_x10 * lens)
+            & (stop_hits >= min_stop_hits)
+            & (10 * distinct >= min_distinct_x10 * lens)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "n_words": pa.array(lens[keep]),
+                "total_word_chars": pa.array(total_chars[keep]),
+                "distinct_words": pa.array(distinct[keep]),
+                "stop_hits": pa.array(stop_hits[keep]),
+                "kept": pa.array(kept[keep]),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def intra_doc_repetition(docs: ray.data.Dataset, *, n: int = 2) -> ray.data.Dataset:
+    """Within-document repetition: per doc the total and DISTINCT word
+    ``n``-gram counts — the "fraction of duplicate n-grams" rule of the
+    Gopher repetition family (Rae et al. 2021 §A1.1), kept as two exact
+    integers so the verdict threshold stays a downstream choice and the
+    DuckDB oracle hash-matches.
+
+    MAP-ONLY: n-gram formation is the same offset arithmetic as
+    dup_ngram_coverage; distinctness is per-document, so one Arrow C++
+    group_by per batch resolves it locally — no shuffle at any corpus
+    size."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals, starts, lens = _token_slices(batch)
+        left, G = _window_starts(starts, lens, n)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = G > 0
+        if len(left) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_ngrams": pa.array([], type=pa.int64()),
+                    "distinct_ngrams": pa.array([], type=pa.int64()),
+                }
+            )
+        g = _join_ngrams(vals, left, n)
+        dmap = _per_doc_distinct(np.repeat(did, G), g)
+        distinct = np.array([dmap.get(d, 0) for d in did[keep]], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "n_ngrams": pa.array(G[keep]),
+                "distinct_ngrams": pa.array(distinct),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

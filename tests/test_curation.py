@@ -1,0 +1,118 @@
+"""Corpus-curation operators (dup_ngram_coverage / gopher_quality /
+intra_doc_repetition) vs hand-computed and DuckDB-computed truths on
+tiny explicit corpora."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.pipelines import dataprep
+
+DOCS = [
+    # doc 0 and 1 share the 5-gram "a b c d e" (and more)
+    (0, "a b c d e f g"),
+    (1, "x a b c d e y"),
+    (2, "p q r s t u v w"),
+    (3, "a b c d"),  # < 5 tokens: no 5-grams
+    (4, ""),  # empty: no tokens at all
+    (5, "m m m m m m"),  # heavy intra-doc repetition
+]
+
+
+def _ds():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], type=pa.int64()),
+                "text": pa.array([t for _, t in DOCS], type=pa.string()),
+            }
+        )
+    )
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [d for d, _ in DOCS], "text": [t for _, t in DOCS]}),
+    )
+    return con.execute(sql).df()
+
+
+def test_dup_ngram_coverage_hand():
+    out = dataprep.dup_ngram_coverage(_ds()).to_pandas()
+    got = dict(zip(out["doc_id"], zip(out["n_ngrams"], out["dup_ngrams"])))
+    # doc0: grams {a b c d e, b c d e f, c d e f g}; only "a b c d e"
+    # also occurs in doc1 -> dup 1 of 3
+    assert got[0] == (3, 1)
+    # doc1: {x a b c d, a b c d e, b c d e y} -> dup 1 of 3
+    assert got[1] == (3, 1)
+    assert got[2] == (4, 0)
+    assert 3 not in got and 4 not in got  # no 5-grams -> absent
+    # doc5: "m m m m m" twice (2 positions, same gram) -> within one doc
+    # only, carriers=1 -> not duplicated
+    assert got[5] == (2, 0)
+
+
+def test_dup_ngram_multiplicity_counts_positions():
+    # the duplicated gram occupies BOTH positions of doc 10
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], type=pa.int64()),
+                "text": pa.array(["z z z z z z", "z z z z z"]),
+            }
+        )
+    )
+    out = dataprep.dup_ngram_coverage(docs).to_pandas()
+    got = dict(zip(out["doc_id"], zip(out["n_ngrams"], out["dup_ngrams"])))
+    assert got[10] == (2, 2)
+    assert got[11] == (1, 1)
+
+
+def test_gopher_quality_rules():
+    # thresholds chosen so each rule is individually decidable
+    out = dataprep.gopher_quality(
+        _ds(), min_words=5, mean_len_lo_x10=10, mean_len_hi_x10=20,
+        min_stop_hits=1, min_distinct_x10=5, stopwords=("a", "x"),
+    ).to_pandas()
+    got = out.set_index("doc_id")
+    assert 4 not in got.index  # empty doc dropped (SQL unnest yields none)
+    r0 = got.loc[0]
+    assert (r0["n_words"], r0["total_word_chars"], r0["distinct_words"], r0["stop_hits"]) == (7, 7, 7, 1)
+    assert r0["kept"] == 1
+    # doc2 has no stopword -> rejected
+    assert got.loc[2]["kept"] == 0
+    # doc5: distinct 1 of 6 -> repetition rule rejects
+    assert got.loc[5]["kept"] == 0
+
+
+def test_intra_doc_repetition_hand():
+    out = dataprep.intra_doc_repetition(_ds()).to_pandas()
+    got = dict(zip(out["doc_id"], zip(out["n_ngrams"], out["distinct_ngrams"])))
+    assert got[0] == (6, 6)
+    assert got[5] == (5, 1)  # "m m" x5
+    assert 4 not in got
+
+
+@pytest.mark.parametrize(
+    "fn,sql_key",
+    [
+        (dataprep.dup_ngram_coverage, "dup_ngram_coverage"),
+        (dataprep.gopher_quality, "gopher_quality"),
+        (dataprep.intra_doc_repetition, "intra_doc_repetition"),
+    ],
+)
+def test_curation_matches_duckdb(fn, sql_key):
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()[sql_key]
+    eng = fn(_ds()).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ora = _duck(sql).sort_values("doc_id").reset_index(drop=True)
+    eng = eng[sorted(eng.columns)].astype("int64")
+    ora = ora[sorted(ora.columns)].astype("int64")
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)

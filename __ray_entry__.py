@@ -683,6 +683,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         )
 
+    def q_min_cost_supplier(sf):
+        return relational.min_cost_supplier(
+            _read(sf, "lineitem", ["l_partkey", "l_extendedprice", "l_suppkey"]),
+            _read(sf, "supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        )
+
+    def q_large_volume_customers(sf):
+        return relational.large_volume_customers(
+            _read(sf, "lineitem", ["l_orderkey", "l_quantity"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+        )
+
+    def q_promo_revenue(sf):
+        return relational.promo_revenue_monthly(
+            _read(sf, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+            _read(sf, "part", ["p_partkey", "p_type"]),
+        )
+
     def q_dup_ngram_coverage(sf):
         return dataprep.dup_ngram_coverage(_read(sf, "documents", ["doc_id", "text"]))
 
@@ -864,6 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "gopher_quality": q_gopher_quality,
         "intra_doc_repetition": q_intra_doc_repetition,
+        "min_cost_supplier": q_min_cost_supplier,
+        "large_volume_customers": q_large_volume_customers,
+        "promo_revenue": q_promo_revenue,
     }
 
 
@@ -1974,6 +1997,57 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # TPC-H Q2-shaped argmin join: cheapest supplier per part
+        "min_cost_supplier": """
+            WITH r AS (
+                SELECT l_partkey, l_extendedprice, l_suppkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY l_extendedprice, l_suppkey) AS rn
+                FROM lineitem
+            )
+            SELECT r.l_partkey AS p_partkey,
+                   CAST(FLOOR(r.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS min_price_cents,
+                   CAST(r.l_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name, n.n_name
+            FROM r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE rn = 1 ORDER BY p_partkey
+        """,
+        # TPC-H Q18-shaped HAVING-filter join: large-volume orders
+        "large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+            )
+            SELECT o.o_custkey AS c_custkey, c.c_name,
+                   big.l_orderkey AS o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   big.total_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY big.total_qty DESC, o_orderkey
+        """,
+        # TPC-H Q14-shaped conditional revenue per ship month
+        "promo_revenue": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                            THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                            * 100.0 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                       * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY month ORDER BY month
         """,
         # Gopher within-doc repetition inputs: total vs distinct bigrams
         "intra_doc_repetition": """

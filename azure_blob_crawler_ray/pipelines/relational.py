@@ -2260,3 +2260,334 @@ def event_transitions(
         .aggregate(Sum("n", alias_name="n"))
         .sort(["prev_type", "next_type"])
     )
+
+
+def min_cost_supplier(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q2-shaped ARGMIN join: for every part, the supplier that
+    sold it cheapest (min l_extendedprice, ties by lowest suppkey),
+    decorated with the supplier's name and nation.
+
+    Scale shape — argmin never shuffles the fact table:
+      * map-side combiner: per block, one lexsort keeps ONE row per
+        (partkey × block) — the block's own argmin;
+      * one coarse-bucket groupby (hash(partkey) % num_buckets) applies
+        the same lexsort-take-first globally — exact, vectorized, one
+        map_groups call per bucket (never per part);
+      * supplier -> name/nation is a broadcast dim lookup (ray.put one
+        dict; suppliers are a dimension even at 100 TB fact scale).
+    Float order ties match SQL exactly: no arithmetic touches the price
+    before comparison."""
+
+    def block_argmin(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sk, pr, pk))
+        pks = pk[order]
+        first = np.r_[True, pks[1:] != pks[:-1]]
+        sel = order[first]
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[sel]),
+                "l_extendedprice": pa.array(pr[sel]),
+                "l_suppkey": pa.array(sk[sel]),
+                "bucket": pa.array(
+                    ((pk[sel].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                     % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_argmin(t: pa.Table) -> pa.Table:
+        return block_argmin(t).drop_columns(["bucket"])
+
+    sup = supplier.select_columns(["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    keys = sup["s_suppkey"].astype(int)
+    names_s = pd.Series(sup["s_name"].to_numpy(), index=keys)
+    nations_s = pd.Series(
+        sup["s_nationkey"].astype(int).map(nmap).to_numpy(), index=keys
+    )
+    smap_ref = ray.put((names_s, nations_s))
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        names_s, nations_s = ray.get(smap_ref)
+        sk = pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": batch["l_partkey"],
+                "min_price_cents": pa.array(cents),
+                "s_suppkey": pa.array(sk.to_numpy()),
+                "s_name": pa.array(sk.map(names_s).to_numpy(), type=pa.string()),
+                "n_name": pa.array(sk.map(nations_s).to_numpy(), type=pa.string()),
+            }
+        )
+
+    return (
+        lineitem.select_columns(["l_partkey", "l_extendedprice", "l_suppkey"])
+        .map_batches(block_argmin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_argmin, batch_format="pyarrow")
+        .map_batches(decorate, batch_format="pyarrow")
+        .sort("p_partkey")
+    )
+
+
+def bucket_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    left_schema: "pa.Schema",
+    right_schema: "pa.Schema",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed INNER equi-join as ONE coarse-bucket groupby + an
+    in-bucket vectorized pandas merge — the empty-partition-safe
+    alternative to ``Dataset.join``.
+
+    Why it exists: ray.data's native hash-shuffle join (ray 2.49,
+    ``execution/operators/join.py:104-126``) builds each partition side
+    with an ArrowBlockBuilder; a hash partition that receives ZERO rows
+    on either side builds a zero-column table and ``pa.Table.join`` then
+    rejects the key FieldRef ("No match or multiple matches"). Any join
+    whose key set is sparse relative to num_partitions — e.g. a
+    HAVING-filtered tail joined back to its fact table — hits this.
+    A groupby never materializes empty groups, so this shape cannot.
+
+    Both sides are tagged into one superset schema (the other side's
+    columns ride as typed nulls), exchanged once on a mixed key hash
+    (~``num_buckets`` uniform groups), and merged per bucket with
+    side-separated pandas frames (each side's own columns are null-free,
+    so integer dtypes survive). Keys must be integer-castable; output
+    columns = left columns + right columns minus the right key, with the
+    declared schemas' types restored. Join output per bucket must fit a
+    worker — at 100 TB raise num_buckets with data volume."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    lnames = [f.name for f in left_schema]
+    rnames = [f.name for f in right_schema if f.name != right_on]
+    all_fields = [(n, left_schema.field(n).type) for n in lnames] + [
+        (n, right_schema.field(n).type) for n in rnames
+    ]
+    out_schema = pa.schema(all_fields)
+
+    def tag(side: int, key_col: str, own: List[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = (
+                pc.cast(batch[key_col], pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n = len(k)
+            bucket = ((k.astype(np.uint64) * MIX) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            cols = {
+                "__bucket": pa.array(bucket),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                "__key": pa.array(k),
+            }
+            for name, typ in all_fields:
+                if name in own:
+                    cols[name] = pc.cast(batch[name], typ)
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            return pa.table(cols)
+
+        return fn
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = (
+            t.filter(pa.array(side == 0))
+            .select(["__key"] + lnames)
+            .to_pandas()
+        )
+        rt = (
+            t.filter(pa.array(side == 1))
+            .select(["__key"] + rnames)
+            .to_pandas()
+        )
+        out = lt.merge(rt, on="__key")
+        return pa.table(
+            {n: pa.array(out[n], type=typ) for n, typ in all_fields},
+            schema=out_schema,
+        )
+
+    tagged = left.map_batches(
+        tag(0, left_on, lnames), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            tag(1, right_on, rnames), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def large_volume_customers(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    *,
+    min_qty: int = 300,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q18-shaped HAVING-filter join: orders whose total line-item
+    quantity exceeds ``min_qty``, with customer name and order facts.
+
+    Scale shape: quantities pre-aggregate map-side (one Arrow group_by
+    per block), then ONE orderkey groupby; the > min_qty filter shrinks
+    the survivor set to the distribution tail BEFORE both hash joins
+    (survivors⋈orders, then ⋈customer) — the joins move the tail plus
+    one pass of the right side, never raw line items. The joins are
+    ``bucket_hash_join`` (see its docstring): the survivor key set is
+    SPARSE by construction, which is exactly the shape that breaks
+    ray.data's native join with empty hash partitions. Quantities are
+    integral, summed as int64 (exact at any add order)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            }
+        )
+        agg = t.group_by(["l_orderkey"]).aggregate([("qty", "sum")])
+        return pa.table({"l_orderkey": agg["l_orderkey"], "qty": agg["qty_sum"]})
+
+    big = (
+        lineitem.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+        .filter(expr=f"total_qty > {min_qty}")
+    )
+    big_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("total_qty", pa.int64())]
+    )
+    orders_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+    with_orders = bucket_hash_join(
+        big,
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        ),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=big_schema,
+        right_schema=orders_schema,
+        num_buckets=num_buckets,
+    )
+    wo_schema = pa.schema(
+        list(big_schema)
+        + [f for f in orders_schema if f.name != "o_orderkey"]
+    )
+    joined = bucket_hash_join(
+        with_orders,
+        customer.select_columns(["c_custkey", "c_name"]),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=wo_schema,
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        num_buckets=num_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": batch["c_name"],
+                "o_orderkey": batch["l_orderkey"],
+                "o_orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+                "price_cents": pa.array(cents),
+                "total_qty": batch["total_qty"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort(
+        ["total_qty", "o_orderkey"], descending=[True, False]
+    )
+
+
+def promo_revenue_monthly(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    *,
+    promo_type: str = "ECONOMY",
+) -> ray.data.Dataset:
+    """TPC-H Q14-shaped conditional revenue: per ship month, revenue
+    cents from parts of ``promo_type`` vs all revenue.
+
+    Scale shape: the part side reduces to ONE BIT per partkey — a
+    broadcast flag set (ray.put once, read per task; ~12 MB per 10^8
+    parts as a key set), so the fact table joins map-side with zero
+    shuffle; the only exchange is the month groupby of per-block
+    partial sums (tiny). Cents are floored per row (same double
+    expression as the SQL twin) then summed as int64 — exact."""
+    promo = part.filter(expr=f"p_type == '{promo_type}'").select_columns(
+        ["p_partkey"]
+    ).to_pandas()
+    flag_ref = ray.put(np.sort(promo["p_partkey"].to_numpy().astype(np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hot = ray.get(flag_ref)
+        month = pc.strftime(batch["l_shipdate"], format="%Y-%m")
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        is_promo = np.isin(
+            batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64), hot
+        )
+        t = pa.table(
+            {
+                "month": month,
+                "promo_cents": pa.array(np.where(is_promo, cents, 0)),
+                "total_cents": pa.array(cents),
+            }
+        )
+        agg = t.group_by(["month"]).aggregate(
+            [("promo_cents", "sum"), ("total_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "month": agg["month"],
+                "promo_cents": agg["promo_cents_sum"],
+                "total_cents": agg["total_cents_sum"],
+            }
+        )
+
+    return (
+        lineitem.select_columns(
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort("month")
+    )

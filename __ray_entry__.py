@@ -683,6 +683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         )
 
+    def q_boilerplate_coverage(sf):
+        return dataprep.boilerplate_coverage(_read(sf, "documents", ["doc_id", "text"]))
+
     def q_min_cost_supplier(sf):
         return relational.min_cost_supplier(
             _read(sf, "lineitem", ["l_partkey", "l_extendedprice", "l_suppkey"]),
@@ -887,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": q_min_cost_supplier,
         "large_volume_customers": q_large_volume_customers,
         "promo_revenue": q_promo_revenue,
+        "boilerplate_coverage": q_boilerplate_coverage,
     }
 
 
@@ -1997,6 +2001,31 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # boilerplate mask: token positions covered by hot 5-grams
+        "boilerplate_coverage": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS g
+                FROM toks,
+                     LATERAL unnest(range(1, GREATEST(len(w) - 3, 1))) AS t(i)
+            ), hot AS (
+                SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 3
+            ), cov AS (
+                SELECT doc_id, COUNT(DISTINCT p) AS covered
+                FROM grams JOIN hot USING (g),
+                     LATERAL unnest(range(i, i + 5)) AS u(p)
+                GROUP BY doc_id
+            ), base AS (
+                SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+                FROM toks WHERE len(w) > 0
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens
+            FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+            ORDER BY b.doc_id
         """,
         # TPC-H Q2-shaped argmin join: cheapest supplier per part
         "min_cost_supplier": """

@@ -2301,3 +2301,85 @@ def intra_doc_repetition(docs: ray.data.Dataset, *, n: int = 2) -> ray.data.Data
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def boilerplate_coverage(
+    docs: ray.data.Dataset, *, n: int = 5, min_count: int = 3
+) -> ray.data.Dataset:
+    """Boilerplate coverage: per document, how many TOKEN POSITIONS are
+    covered by at least one "hot" word n-gram (total corpus occurrences
+    >= ``min_count``) — the removal mask a boilerplate-stripping pass
+    (headers, footers, licence blocks) materializes before editing text.
+    Complements dup_ngram_coverage: that counts duplicated gram
+    INSTANCES, this one the UNION of their token spans.
+
+    Scale shape:
+      * pass 1 — hot-gram discovery: per-batch Arrow value_counts (the
+        map-side combiner), one groupby(gram) sum, filter >= min_count.
+        The surviving head is broadcast via ray.put: boilerplate is by
+        definition the high-frequency head, bounded by
+        total_grams/min_count and in practice tiny (raise min_count
+        with corpus size; the count is logged in the row estimate).
+      * pass 2 — map-only coverage: per batch, windows whose gram is in
+        the broadcast set mark [start, start+n) in a difference array;
+        one cumsum yields the union coverage, segment sums split it per
+        doc. No shuffle; nothing row-scale reaches the driver.
+
+    Output (doc_id, n_tokens, covered_tokens), all-integer."""
+
+    def gram_counts(batch: pa.Table) -> pa.Table:
+        vals, starts, lens = _token_slices(batch)
+        left, _G = _window_starts(starts, lens, n)
+        if len(left) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = pc.value_counts(_join_ngrams(vals, left, n))
+        return pa.table(
+            {"g": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    proj = docs.select_columns(["doc_id", "text"])
+    hot_df = (
+        proj.map_batches(gram_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], min_count)).select(["g"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    hot_ref = ray.put(pa.array(hot_df["g"].to_numpy(), type=pa.string()))
+
+    def coverage(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        vals, starts, lens = _token_slices(batch)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lens > 0
+        left, _G = _window_starts(starts, lens, n)
+        ends = starts + lens
+        total = int(ends[-1]) if len(ends) else 0
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if len(left):
+            hit = pc.is_in(
+                _join_ngrams(vals, left, n), value_set=hot
+            ).to_numpy(zero_copy_only=False)
+            hs = left[hit]
+            np.add.at(diff, hs, 1)
+            np.add.at(diff, hs + n, -1)
+        covered = (np.cumsum(diff[:-1]) > 0).astype(np.int64)
+        cc = np.r_[0, np.cumsum(covered)]
+        per_doc = cc[np.minimum(ends, total)] - cc[np.minimum(starts, total)]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "n_tokens": pa.array(lens[keep]),
+                "covered_tokens": pa.array(per_doc[keep]),
+            }
+        )
+
+    return proj.map_batches(coverage, batch_format="pyarrow", zero_copy_batch=True)

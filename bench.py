@@ -183,6 +183,12 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "fuzzy_pairs",
         "approx_quantiles",
         "triangles",
+        "dup_ngram_coverage",
+        "gopher_quality",
+        "intra_doc_repetition",
+        "min_cost_supplier",
+        "large_volume_customers",
+        "promo_revenue",
     ]
     out = {}
     for name in names:

@@ -116,3 +116,40 @@ def test_curation_matches_duckdb(fn, sql_key):
     eng = eng[sorted(eng.columns)].astype("int64")
     ora = ora[sorted(ora.columns)].astype("int64")
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_boilerplate_coverage_hand():
+    # "a b c d e" occurs 3 times -> hot at min_count=3; union coverage
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e x y",      # covers tokens 0-4 of 7
+                        "q a b c d e",        # covers tokens 1-5 of 6
+                        "a b c d e a b c d e",  # two hot windows: all 10
+                    ]
+                ),
+            }
+        )
+    )
+    out = dataprep.boilerplate_coverage(docs).to_pandas()
+    got = dict(zip(out["doc_id"], zip(out["n_tokens"], out["covered_tokens"])))
+    assert got[0] == (7, 5)
+    assert got[1] == (6, 5)
+    assert got[2] == (10, 10)
+
+
+def test_boilerplate_coverage_overlap_union():
+    # overlapping hot windows must not double-count positions
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(["z z z z z z"] * 3),  # every window hot
+            }
+        )
+    )
+    out = dataprep.boilerplate_coverage(docs).to_pandas()
+    assert out["covered_tokens"].tolist() == [6, 6, 6]

@@ -2446,17 +2446,20 @@ def large_volume_customers(
     """TPC-H Q18-shaped HAVING-filter join: orders whose total line-item
     quantity exceeds ``min_qty``, with customer name and order facts.
 
-    Scale shape: quantities pre-aggregate map-side (one Arrow group_by
-    per block), then ONE orderkey groupby; the > min_qty filter shrinks
-    the survivor set to the distribution tail BEFORE both hash joins
-    (survivors⋈orders, then ⋈customer) — the joins move the tail plus
-    one pass of the right side, never raw line items. The joins are
-    ``bucket_hash_join`` (see its docstring): the survivor key set is
+    Scale shape — aggregate, HAVING filter and the first join share ONE
+    exchange: the coarse bucket (hash(orderkey) % num_buckets)
+    co-locates every qty partial of an orderkey with its orders row, so
+    the per-bucket merge sums partials, applies the > min_qty filter
+    and joins in the same vectorized pass (a separate orderkey groupby
+    would move the same rows twice). Line items still reduce map-side
+    first (one Arrow group_by per block). The customer hop is
+    ``bucket_hash_join`` (see its docstring: the survivor key set is
     SPARSE by construction, which is exactly the shape that breaks
-    ray.data's native join with empty hash partitions. Quantities are
+    ray.data's native join with empty hash partitions). Quantities are
     integral, summed as int64 (exact at any add order)."""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def li_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
@@ -2464,40 +2467,90 @@ def large_volume_customers(
             }
         )
         agg = t.group_by(["l_orderkey"]).aggregate([("qty", "sum")])
-        return pa.table({"l_orderkey": agg["l_orderkey"], "qty": agg["qty_sum"]})
+        k = agg["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        return pa.table(
+            {
+                "__bucket": pa.array(
+                    ((k.astype(np.uint64) * MIX) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+                "l_orderkey": pa.array(k),
+                "qty": agg["qty_sum"],
+                "o_custkey": pa.nulls(n, type=pa.int64()),
+                "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
+                "o_totalprice": pa.nulls(n, type=pa.float64()),
+            }
+        )
 
-    big = (
+    def ord_tag(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        return pa.table(
+            {
+                "__bucket": pa.array(
+                    ((k.astype(np.uint64) * MIX) % np.uint64(num_buckets)).astype(np.int32)
+                ),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+                "l_orderkey": pa.array(k),
+                "qty": pa.nulls(n, type=pa.int64()),
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "o_orderdate": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                "o_totalprice": pc.cast(batch["o_totalprice"], pa.float64()),
+            }
+        )
+
+    def agg_filter_join(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = (
+            t.filter(pa.array(side == 0))
+            .select(["l_orderkey", "qty"])
+            .group_by(["l_orderkey"])
+            .aggregate([("qty", "sum")])
+        )
+        qty = lt["qty_sum"].to_numpy(zero_copy_only=False)
+        keep = qty > min_qty
+        lp = pd.DataFrame(
+            {
+                "l_orderkey": lt["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "total_qty": qty[keep].astype(np.int64),
+            }
+        )
+        rp = (
+            t.filter(pa.array(side == 1))
+            .select(["l_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+            .to_pandas()
+        )
+        out = lp.merge(rp, on="l_orderkey")
+        return pa.table(
+            {
+                "l_orderkey": pa.array(out["l_orderkey"], type=pa.int64()),
+                "total_qty": pa.array(out["total_qty"], type=pa.int64()),
+                "o_custkey": pa.array(out["o_custkey"], type=pa.int64()),
+                "o_orderdate": pa.array(out["o_orderdate"], type=pa.timestamp("us")),
+                "o_totalprice": pa.array(out["o_totalprice"], type=pa.float64()),
+            }
+        )
+
+    with_orders = (
         lineitem.select_columns(["l_orderkey", "l_quantity"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty", alias_name="total_qty"))
-        .filter(expr=f"total_qty > {min_qty}")
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            orders.select_columns(
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+            ).map_batches(ord_tag, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("__bucket")
+        .map_groups(agg_filter_join, batch_format="pyarrow")
     )
-    big_schema = pa.schema(
-        [("l_orderkey", pa.int64()), ("total_qty", pa.int64())]
-    )
-    orders_schema = pa.schema(
+    wo_schema = pa.schema(
         [
-            ("o_orderkey", pa.int64()),
+            ("l_orderkey", pa.int64()),
+            ("total_qty", pa.int64()),
             ("o_custkey", pa.int64()),
             ("o_orderdate", pa.timestamp("us")),
             ("o_totalprice", pa.float64()),
         ]
-    )
-    with_orders = bucket_hash_join(
-        big,
-        orders.select_columns(
-            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
-        ),
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        left_schema=big_schema,
-        right_schema=orders_schema,
-        num_buckets=num_buckets,
-    )
-    wo_schema = pa.schema(
-        list(big_schema)
-        + [f for f in orders_schema if f.name != "o_orderkey"]
     )
     joined = bucket_hash_join(
         with_orders,

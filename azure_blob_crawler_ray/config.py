@@ -86,3 +86,5 @@ class CrawlConfig:
     mirror_every: int = 0           # 1/N URLs serve mirrored (group-shared) content (0 = off)
     mirror_groups: int = 16         # distinct mirror content groups
     dedup_content: bool = False     # cross-wave content-fingerprint dedup of documents
+    inlink_priority: bool = False   # frontier priority boosted by in-wave inlink count
+    inlink_cap: int = 100           # cap on the inlink boost (skew bound)

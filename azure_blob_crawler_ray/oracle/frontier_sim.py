@@ -272,6 +272,12 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
         #    dropped BEFORE the seen probe (mirrors _explode_links)
         if cfg.max_depth > 0:
             wave_links = [u for u in wave_links if link_depth[u] <= cfg.max_depth]
+        # in-wave inlink multiplicity (only consumed when
+        # cfg.inlink_priority; mirrors the engine's per-batch
+        # return_counts summed per hash in _probe_router)
+        link_count: Dict[str, int] = {}
+        for u in wave_links:
+            link_count[u] = link_count.get(u, 0) + 1
         uniq_links = sorted(set(wave_links), key=lambda u: (int(hash64([canonical_url(u)])[0]), u))
         fresh_mask = seen_add(uniq_links) if uniq_links else np.zeros(0, dtype=bool)
         fresh_links = [u for u, f in zip(uniq_links, fresh_mask) if f]
@@ -290,7 +296,11 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
             nf["url"].append(u)
             nf["host"].append(split_host_path(u)[0])
             nf["depth"].append(np.int32(d))
-            nf["priority"].append(np.float32(1.0 / (1 + d)))
+            if cfg.inlink_priority:
+                boost = np.float32(1 + min(link_count[u], cfg.inlink_cap))
+                nf["priority"].append(np.float32(boost / np.float32(1 + d)))
+            else:
+                nf["priority"].append(np.float32(1.0 / (1 + d)))
             nf["discovered_at"].append(np.int64(wave + 1))
             nf["attempts"].append(np.int32(0))
         for u, h, d, pr, da, att in retries:

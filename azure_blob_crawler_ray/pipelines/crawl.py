@@ -206,7 +206,20 @@ def _probe_router(actors: List, wave: int):
         t = t.take(idx)
         uh = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         first = np.r_[True, uh[1:] != uh[:-1]]
-        t = t.filter(pa.array(first))
+        if "inlinks" in t.column_names:
+            # total in-wave discovery multiplicity per hash: sum the
+            # per-batch partials over each run (cumsum segment trick)
+            il = t["inlinks"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = np.r_[0, np.cumsum(il)]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(il)]
+            totals = cs[ends] - cs[starts]
+            i = t.schema.get_field_index("inlinks")
+            t = t.filter(pa.array(first)).set_column(
+                i, "inlinks", pa.array(totals)
+            )
+        else:
+            t = t.filter(pa.array(first))
         h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         # h is sorted unique by construction; the fresh mask aligns 1:1
         fresh = ray.get(actors[shard].check_add.remote(h, wave))
@@ -261,7 +274,9 @@ def _content_router(actors: List, wave: int):
     return fn
 
 
-def _explode_links(wave: int, num_seen_shards: int, max_depth: int = 0):
+def _explode_links(
+    wave: int, num_seen_shards: int, max_depth: int = 0, with_inlinks: bool = False
+):
     def fn(batch: pa.Table) -> pa.Table:
         # Fully vectorized: Arrow list flatten -> np.unique in-batch
         # pre-dedupe (min depth per url, the combiner before the seen-set
@@ -282,10 +297,13 @@ def _explode_links(wave: int, num_seen_shards: int, max_depth: int = 0):
             uh = np.zeros(0, dtype=np.uint64)
             ua = pa.array([], type=pa.string())
             host = pa.array([], type=pa.string())
+            occ = np.zeros(0, dtype=np.int64)
         else:
             urls_np = np.asarray(flat.to_pandas(), dtype=object)
             dep_all = np.repeat(pdep + 1, counts)
-            uniq, inv = np.unique(urls_np, return_inverse=True)
+            uniq, inv, occ = np.unique(
+                urls_np, return_inverse=True, return_counts=True
+            )
             mindep = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(mindep, inv, dep_all)
             if max_depth > 0:
@@ -294,7 +312,7 @@ def _explode_links(wave: int, num_seen_shards: int, max_depth: int = 0):
                 # crawl them). Safe as an in-batch pre-filter: dropping
                 # depth > max rows cannot change a surviving min.
                 keep = mindep <= max_depth
-                uniq, mindep = uniq[keep], mindep[keep]
+                uniq, mindep, occ = uniq[keep], mindep[keep], occ[keep]
             dep = mindep.astype(np.int32)
             ua = pa.array(uniq.tolist(), type=pa.string())
             _, canon = split_canonical_arrow(ua)
@@ -303,21 +321,27 @@ def _explode_links(wave: int, num_seen_shards: int, max_depth: int = 0):
         # attempts are pure functions of (url, depth, wave) and are
         # rebuilt AFTER the seen-set anti-join (_rebuild_frontier_cols)
         # — only the columns the probe needs cross the exchange.
-        return pa.table(
-            {
-                "url": ua,
-                "depth": pa.array(dep),
-                "url_hash": pa.array(uh),
-                "seen_shard": pa.array((uh % np.uint64(num_seen_shards)).astype(np.int32)),
-            }
-        )
+        # inlinks (in-batch discovery multiplicity) rides only when
+        # inlink_priority is on, keeping the default exchange narrow.
+        cols = {
+            "url": ua,
+            "depth": pa.array(dep),
+            "url_hash": pa.array(uh),
+            "seen_shard": pa.array((uh % np.uint64(num_seen_shards)).astype(np.int32)),
+        }
+        if with_inlinks:
+            cols["inlinks"] = pa.array(occ.astype(np.int64))
+        return pa.table(cols)
 
     return fn
 
 
-def _rebuild_frontier_cols(wave: int):
+def _rebuild_frontier_cols(wave: int, inlink_cap: int = 100):
     """Restore the derived frontier columns dropped before the seen-set
-    shuffle, in the canonical frontier column order."""
+    shuffle, in the canonical frontier column order. When the batch
+    carries an ``inlinks`` column (cfg.inlink_priority), priority is
+    boosted by the capped in-wave discovery count — heavily-referenced
+    pages crawl earlier (SURVEY.md §2.5 A4 / §2.6 K4)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ua = batch["url"]
@@ -326,12 +350,18 @@ def _rebuild_frontier_cols(wave: int):
         host, _ = split_canonical_arrow(ua)
         dep = batch["depth"].to_numpy(zero_copy_only=False).astype(np.int32)
         n = len(dep)
+        if "inlinks" in batch.column_names:
+            il = batch["inlinks"].to_numpy(zero_copy_only=False).astype(np.int64)
+            boost = (1 + np.minimum(il, inlink_cap)).astype(np.float32)
+            priority = boost / (1 + dep.astype(np.float32))
+        else:
+            priority = 1.0 / (1 + dep.astype(np.float32))
         return pa.table(
             {
                 "url": ua,
                 "host": host,
                 "depth": pa.array(dep),
-                "priority": pa.array(1.0 / (1 + dep.astype(np.float32))),
+                "priority": pa.array(priority),
                 "discovered_at": pa.array(np.full(n, wave + 1, dtype=np.int64)),
                 "url_hash": batch["url_hash"],
                 "attempts": pa.array(np.zeros(n, dtype=np.int32)),
@@ -671,7 +701,9 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # runs AND a narrower sort-merge fan in the seen groupby) without
         # an extra exchange
         links = parsed.map_batches(
-            _explode_links(wave, cfg.num_seen_shards, cfg.max_depth),
+            _explode_links(
+                wave, cfg.num_seen_shards, cfg.max_depth, cfg.inlink_priority
+            ),
             batch_format="pyarrow",
             batch_size=max(4096, cfg.wave_budget // shuffle_width),
         )
@@ -680,7 +712,9 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             .map_groups(_probe_router(seen, wave), batch_format="pyarrow")
             .drop_columns(["seen_shard"])
             .map_batches(
-                _rebuild_frontier_cols(wave), batch_format="pyarrow", zero_copy_batch=True
+                _rebuild_frontier_cols(wave, cfg.inlink_cap),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
             .materialize()
         )

@@ -787,6 +787,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = run_crawl(cfg)
         return read_crawl_order(out, res.waves_run)
 
+    def q_refresh_changed(sf):
+        import os
+
+        from azure_blob_crawler_ray.config import CrawlConfig
+        from azure_blob_crawler_ray.pipelines.crawl import run_crawl
+        from azure_blob_crawler_ray.pipelines.refresh import refresh_crawl
+        from azure_blob_crawler_ray.storage import read_table_arrow
+
+        out = "/tmp/abc_entry_refresh"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(
+            universe=600,
+            n_hosts=10,
+            max_waves=2,
+            wave_budget=150,
+            max_fetches_per_host_per_wave=32,
+            seeds_per_host=2,
+            out_dir=out,
+            emit_index=False,
+            inject_faults=False,
+            change_every=3,
+        )
+        run_crawl(cfg)
+        res = refresh_crawl(cfg, out, content_epoch=1)
+        t = read_table_arrow(os.path.join(res.out_dir, "documents"))
+        return t.select(["url", "url_hash", "content_fp"]).sort_by("url")
+
     return {
         "text_stats": q_text_stats,
         "langid": q_langid,
@@ -891,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": q_large_volume_customers,
         "promo_revenue": q_promo_revenue,
         "boilerplate_coverage": q_boilerplate_coverage,
+        "refresh_changed": q_refresh_changed,
     }
 
 

@@ -88,3 +88,5 @@ class CrawlConfig:
     dedup_content: bool = False     # cross-wave content-fingerprint dedup of documents
     inlink_priority: bool = False   # frontier priority boosted by in-wave inlink count
     inlink_cap: int = 100           # cap on the inlink boost (skew bound)
+    content_epoch: int = 0          # synthetic-web version; changed pages differ per epoch
+    change_every: int = 0           # 1/N of content uids change each epoch (0 = static web)

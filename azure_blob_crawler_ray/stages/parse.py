@@ -75,7 +75,7 @@ def parse_extract(batch: pa.Table) -> pa.Table:
         c
         for c in (
             "url", "host", "depth", "wave", "fetch_ms", "url_hash", "priority",
-            "discovered_at", "attempts", "status",
+            "discovered_at", "attempts", "status", "prev_fp",
         )
         if c in batch.column_names
     ]

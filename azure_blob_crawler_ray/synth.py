@@ -187,7 +187,14 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
     # but all content derivation (rng stream, embedded links) keys off
     # the effective content uid so mirrored pages are byte-identical
     carr = content_uid_of(uarr, cfg)
-    rng = np.random.Generator(np.random.PCG64(int(derive(carr, 5, cfg.seed)[0])))
+    # content versioning: at epoch e >= 1, changed pages (change_mask)
+    # draw their prose from an epoch-perturbed stream — links and ext
+    # stay fixed, so the web GRAPH is epoch-stable while page text
+    # evolves (what an incremental refresh crawl must detect)
+    rng_seed = cfg.seed
+    if cfg.content_epoch > 0 and change_mask(uarr, cfg)[0]:
+        rng_seed = cfg.seed + 1_000_003 * cfg.content_epoch
+    rng = np.random.Generator(np.random.PCG64(int(derive(carr, 5, rng_seed)[0])))
     targets = link_targets_for(carr, cfg)[0]
     link_urls = urls_for(targets, cfg)[0] if len(targets) else []
     link_lines = [f"LINK: {u}" for u in link_urls]
@@ -232,6 +239,18 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
     # bin: opaque bytes, no links
     raw = rng.integers(0, 256, int(rng.integers(64, 2048)), dtype=np.uint8)
     return raw.tobytes(), "application/octet-stream"
+
+
+def change_mask(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:
+    """Deterministic 1/``change_every`` subset of pages whose content
+    DIFFERS at content_epoch >= 1 — the synthetic analogue of pages
+    edited between crawl runs. Keyed off the CONTENT uid so mirrored
+    pages change in lockstep (a syndicated page edits everywhere).
+    All-False when the web is static (change_every <= 0)."""
+    if cfg.change_every <= 0 or len(uids) == 0:
+        return np.zeros(len(uids), dtype=bool)
+    c = content_uid_of(uids, cfg)
+    return (derive(c, 53, cfg.seed) % _U64(cfg.change_every)) == 0
 
 
 def content_uid_of(uids: np.ndarray, cfg: CrawlConfig) -> np.ndarray:

@@ -683,6 +683,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         )
 
+    def q_langid_confusion(sf):
+        return dataprep.langid_confusion(
+            _read(sf, "documents", ["doc_id", "text", "lang"])
+        )
+
+    def q_events_by_weekday(sf):
+        return relational.events_by_weekday(_read(sf, "events", ["ts", "value"]))
+
+    def q_group_percent_rank(sf):
+        return relational.group_percent_rank(
+            _read(sf, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+        )
+
     def q_boilerplate_coverage(sf):
         return dataprep.boilerplate_coverage(_read(sf, "documents", ["doc_id", "text"]))
 
@@ -919,6 +932,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q_promo_revenue,
         "boilerplate_coverage": q_boilerplate_coverage,
         "refresh_changed": q_refresh_changed,
+        "langid_confusion": q_langid_confusion,
+        "events_by_weekday": q_events_by_weekday,
+        "group_percent_rank": q_group_percent_rank,
     }
 
 
@@ -2029,6 +2045,41 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # language-ID confusion matrix (same CASE as the langid oracle)
+        "langid_confusion": f"""
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM (
+                SELECT lang,
+                       CASE
+                         WHEN {occ_join} > {occ_the} AND {occ_join} > {occ_data} THEN 'fr'
+                         WHEN {occ_data} > {occ_the} THEN 'de'
+                         WHEN {occ_the} > 0 THEN 'en'
+                         ELSE 'und'
+                       END AS pred_lang
+                FROM documents
+            )
+            GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+        """,
+        # calendar rollup: events per weekday (strftime %w, Sunday=0)
+        "events_by_weekday": """
+            SELECT strftime(ts, '%w') AS weekday,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events GROUP BY weekday ORDER BY weekday
+        """,
+        # per-group window rank: PERCENT_RANK within order priority
+        "group_percent_rank": """
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+                   PERCENT_RANK() OVER w AS pct_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY FLOOR(o_totalprice * 100.0 + 0.5) DESC,
+                                  o_orderkey)
+            ORDER BY o_orderpriority, rnk
         """,
         # boilerplate mask: token positions covered by hot 5-grams
         "boilerplate_coverage": """

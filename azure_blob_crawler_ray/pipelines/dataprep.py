@@ -2383,3 +2383,48 @@ def boilerplate_coverage(
         )
 
     return proj.map_batches(coverage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def langid_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Language-ID confusion matrix: stored label x marker-argmax
+    prediction -> doc counts. The evaluation rollup a curation pipeline
+    runs to decide whether its cheap classifier is safe to filter on.
+    Map-side per-batch (lang, pred) partial counts (Arrow group_by),
+    then one tiny groupby — the exchange moves #langs x #preds rows per
+    block, never documents."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        counts = [
+            occurrences(t, term).to_numpy().astype(np.int64)
+            for term, _ in LANG_MARKERS
+        ]
+        n = len(counts[0]) if counts else 0
+        pred = np.full(n, "und", dtype=object)
+        best = np.zeros(n, dtype=np.int64)
+        for cnt, (_, lang) in zip(counts, LANG_MARKERS):
+            win = cnt > best
+            pred[win] = lang
+            best = np.maximum(best, cnt)
+        part = pa.table(
+            {
+                "lang": batch["lang"],
+                "pred_lang": pa.array(pred.tolist(), type=pa.string()),
+            }
+        )
+        agg = part.group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": agg["lang"],
+                "pred_lang": agg["pred_lang"],
+                "n_docs": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text", "lang"])
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort(["lang", "pred_lang"])
+    )

@@ -2644,3 +2644,159 @@ def promo_revenue_monthly(
         )
         .sort("month")
     )
+
+
+def events_by_weekday(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-weekday event rollup (count + value cents) — the calendar
+    scalar-function family (strftime %w) over the fact table, map-side
+    combined so the exchange moves 7 rows per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wd = pc.strftime(batch["ts"], format="%w")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)), pa.int64()
+        )
+        t = pa.table({"weekday": wd, "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)), "cents": cents})
+        agg = t.group_by(["weekday"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return pa.table(
+            {
+                "weekday": agg["weekday"],
+                "n_events": agg["n_sum"],
+                "value_cents": agg["cents_sum"],
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("weekday")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+        .sort("weekday")
+    )
+
+
+def group_percent_rank(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """PERCENT_RANK / ROW_NUMBER within each order-priority group over
+    (o_totalprice DESC, o_orderkey) — the per-group window-rank shape
+    where groups are FEW but each is corpus-sized, so per-group
+    map_groups would be unbounded.
+
+    Scale shape (the ``global_rank`` two-pass generalized to grouped
+    ranks): distributed sort on (group, cents DESC, key), MATERIALIZE
+    the narrow projection, pass 1 pulls one summary row per (block x
+    group-run) — block-count-bounded, since group runs are contiguous
+    in sorted blocks — the driver cumsums per group, pass 2 broadcasts
+    the per-run offset map and group totals; each block assigns
+    rank = run_offset + local position. percent_rank = (rank-1)/(n-1)
+    computed from exact ints (pinned double division, matches SQL)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "grp": batch["o_orderpriority"],
+                "o_orderkey": batch["o_orderkey"],
+                "cents": cents,
+            }
+        )
+
+    ordered = (
+        orders.select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["grp", "cents", "o_orderkey"], descending=[False, True, False])
+        .materialize()
+    )
+
+    def run_summaries(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "grp": pa.array([], type=pa.string()),
+                    "first_cents": pa.array([], type=pa.int64()),
+                    "first_key": pa.array([], type=pa.int64()),
+                    "rows": pa.array([], type=pa.int64()),
+                }
+            )
+        g = batch["grp"].to_numpy(zero_copy_only=False)
+        first = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(g)]
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "grp": pa.array(g[starts].tolist(), type=pa.string()),
+                "first_cents": pa.array(c[starts].astype(np.int64)),
+                "first_key": pa.array(k[starts].astype(np.int64)),
+                "rows": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    sm = ordered.map_batches(
+        run_summaries, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    # run order within a group = sort order: cents DESC, key ASC
+    sm = sm.sort_values(
+        ["grp", "first_cents", "first_key"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    per_grp = sm.groupby("grp", sort=False)["rows"]
+    offs_vals = (per_grp.cumsum() - sm["rows"]).to_numpy().astype(np.int64)
+    totals = sm.groupby("grp")["rows"].sum().astype(np.int64).to_dict()
+    offs = dict(
+        zip(
+            zip(
+                sm["grp"].tolist(),
+                sm["first_cents"].to_numpy().astype(np.int64).tolist(),
+                sm["first_key"].to_numpy().astype(np.int64).tolist(),
+            ),
+            offs_vals.tolist(),
+        )
+    )
+    offs_ref = ray.put((offs, totals))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], type=pa.string()),
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "price_cents": pa.array([], type=pa.int64()),
+                    "rnk": pa.array([], type=pa.int64()),
+                    "pct_rank": pa.array([], type=pa.float64()),
+                }
+            )
+        omap, tmap = ray.get(offs_ref)
+        g = batch["grp"].to_numpy(zero_copy_only=False)
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(g)]
+        rnk = np.empty(len(g), dtype=np.int64)
+        denom = np.empty(len(g), dtype=np.int64)
+        for s, e in zip(starts, ends):  # <= #groups runs per block
+            base = omap[(str(g[s]), int(c[s]), int(k[s]))]
+            rnk[s:e] = base + np.arange(e - s, dtype=np.int64) + 1
+            denom[s:e] = tmap[str(g[s])]
+        pct = np.where(denom > 1, (rnk - 1) / np.maximum(denom - 1, 1), 0.0)
+        return pa.table(
+            {
+                "o_orderpriority": batch["grp"],
+                "o_orderkey": pa.array(k),
+                "price_cents": pa.array(c),
+                "rnk": pa.array(rnk),
+                "pct_rank": pa.array(pct.astype(np.float64)),
+            }
+        )
+
+    return ordered.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

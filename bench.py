@@ -189,6 +189,10 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "min_cost_supplier",
         "large_volume_customers",
         "promo_revenue",
+        "boilerplate_coverage",
+        "langid_confusion",
+        "events_by_weekday",
+        "group_percent_rank",
     ]
     out = {}
     for name in names:

@@ -90,3 +90,4 @@ class CrawlConfig:
     inlink_cap: int = 100           # cap on the inlink boost (skew bound)
     content_epoch: int = 0          # synthetic-web version; changed pages differ per epoch
     change_every: int = 0           # 1/N of content uids change each epoch (0 = static web)
+    link_noise_every: int = 0       # 1/N links carry ?utm=/#fragment noise (0 = clean links)

@@ -10,9 +10,13 @@ events; crawl URLs get the natural host/path split on the same principle.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Tuple
 
 import numpy as np
+
+# same RE2-compatible pattern as the Arrow twin (clean_urls_arrow)
+_TRACKING_RE = re.compile(r"\?utm[^#]*$")
 
 
 def parse_blob_url(url: str) -> Optional[Tuple[str, str]]:
@@ -57,6 +61,27 @@ def canonical_url(url: str) -> str:
     if len(path) > 1 and path.endswith("/"):
         path = path[:-1]
     return host + path
+
+
+def clean_url(url: str) -> str:
+    """Link-discovery URL cleaning (real-crawler semantics the reference
+    never needed — its queue carries exact blob URLs): drop the fragment,
+    and drop a tracking query (one starting with a ``utm`` param) wholly.
+    Scheme and semantic paths are preserved; idempotent; identity on
+    noise-free URLs, so crawls over clean webs are byte-identical with
+    or without this pass."""
+    url = url.split("#", 1)[0]
+    return _TRACKING_RE.sub("", url)
+
+
+def clean_urls_arrow(urls):
+    """Arrow-kernel twin of ``clean_url`` for the link-explosion hot
+    path (RE2, no per-URL Python). Property-tested equal to the scalar
+    form."""
+    import pyarrow.compute as pc
+
+    out = pc.replace_substring_regex(urls, pattern="(?s)#.*$", replacement="")
+    return pc.replace_substring_regex(out, pattern=r"\?utm[^#]*$", replacement="")
 
 
 def doc_id_of(blob_name: str) -> str:

@@ -36,7 +36,7 @@ import numpy as np
 from .. import synth
 from ..config import CrawlConfig
 from ..functions.links import extract_links
-from ..functions.urlnorm import canonical_url, doc_id_of, split_host_path
+from ..functions.urlnorm import canonical_url, clean_url, doc_id_of, split_host_path
 from ..hashing import hash64
 from ..state.admission import canonical_order, schedule_wave
 from ..state.cuckoo import CuckooFilter
@@ -249,6 +249,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                 )
                 d = int(np.asarray(frontier["depth"])[i]) + 1
                 for link in extract_links(ex.full_content):
+                    link = clean_url(link)  # variants collapse pre-dedupe
                     wave_links.append(link)
                     if link not in link_depth or d < link_depth[link]:
                         link_depth[link] = d

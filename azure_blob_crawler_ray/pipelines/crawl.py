@@ -299,6 +299,12 @@ def _explode_links(
             host = pa.array([], type=pa.string())
             occ = np.zeros(0, dtype=np.int64)
         else:
+            # link cleaning (fragment + tracking-query variants collapse
+            # BEFORE dedupe, so multiplicities and depths merge too) —
+            # identity on noise-free webs
+            from ..functions.urlnorm import clean_urls_arrow
+
+            flat = clean_urls_arrow(flat)
             urls_np = np.asarray(flat.to_pandas(), dtype=object)
             dep_all = np.repeat(pdep + 1, counts)
             uniq, inv, occ = np.unique(

@@ -197,6 +197,25 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
     rng = np.random.Generator(np.random.PCG64(int(derive(carr, 5, rng_seed)[0])))
     targets = link_targets_for(carr, cfg)[0]
     link_urls = urls_for(targets, cfg)[0] if len(targets) else []
+    # link noise: 1/link_noise_every outgoing links carry tracking-query
+    # and/or fragment suffixes — duplicate URL VARIANTS of one page, the
+    # real-web mess the crawler's clean_url pass must collapse. Keyed by
+    # the target uid, so every page referencing a noisy target writes
+    # the same variant (and the engine/oracle agree by construction).
+    if cfg.link_noise_every > 0 and len(targets):
+        noisy = (derive(targets, 61, cfg.seed) % _U64(cfg.link_noise_every)) == 0
+        kind = derive(targets, 67, cfg.seed) % _U64(3)
+        decorated = []
+        for u, t, m, k in zip(link_urls, targets, noisy, kind):
+            if not m:
+                decorated.append(u)
+            elif k == 0:
+                decorated.append(f"{u}?utm=s{int(t) % 7}")
+            elif k == 1:
+                decorated.append(f"{u}#sec{int(t) % 5}")
+            else:
+                decorated.append(f"{u}?utm=s{int(t) % 7}#sec{int(t) % 5}")
+        link_urls = decorated
     link_lines = [f"LINK: {u}" for u in link_urls]
 
     def sentences(n_words: int) -> str:

@@ -683,6 +683,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         )
 
+    def q_regional_revenue(sf):
+        return relational.regional_supplier_revenue(
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            _read(sf, "region", ["r_regionkey", "r_name"]),
+        )
+
     def q_langid_confusion(sf):
         return dataprep.langid_confusion(
             _read(sf, "documents", ["doc_id", "text", "lang"])
@@ -935,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": q_langid_confusion,
         "events_by_weekday": q_events_by_weekday,
         "group_percent_rank": q_group_percent_rank,
+        "regional_revenue": q_regional_revenue,
     }
 
 
@@ -2045,6 +2056,24 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # TPC-H Q5-shaped six-table regional revenue join
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                       * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1998-01-01'
+              AND o_orderdate < DATE '1999-01-01'
+            GROUP BY n_name ORDER BY revenue_cents DESC, n_name
         """,
         # language-ID confusion matrix (same CASE as the langid oracle)
         "langid_confusion": f"""

@@ -2800,3 +2800,163 @@ def group_percent_rank(orders: ray.data.Dataset) -> ray.data.Dataset:
     return ordered.map_batches(
         assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def regional_supplier_revenue(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+    *,
+    region_name: str = "ASIA",
+    year: int = 1998,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q5-shaped six-table join: revenue per nation from line
+    items where the CUSTOMER's nation equals the SUPPLIER's nation,
+    both inside one region, for orders of one year.
+
+    Scale shape, per join class:
+      * region->nation (25 rows) and supplier->nationkey are DIMENSION
+        broadcasts (ray.put once; suppliers are fact/10,000 in TPC-H —
+        a key->int16 map even at 100 TB);
+      * customer is projected to (custkey, nationkey) and filtered to
+        the region MAP-SIDE before anything moves;
+      * the two FACT hops (orders⋈customer-proj on custkey, then
+        lineitem⋈that on orderkey) are ``bucket_hash_join``s — the
+        year+region filters make the key sets sparse, exactly the
+        shape that crashes ray.data's native join on empty partitions;
+      * the nation-equality predicate and cent flooring are map-side;
+        the final exchange is a #nations-row groupby of per-block
+        partial sums."""
+    import pandas as _pd
+
+    nat = nation.select_columns(["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg[reg["r_name"] == region_name]["r_regionkey"].iloc[0])
+    region_nations = nat[nat["n_regionkey"] == rkey]
+    nset = np.sort(region_nations["n_nationkey"].to_numpy().astype(np.int64))
+    nname = _pd.Series(
+        region_nations["n_name"].to_numpy(),
+        index=region_nations["n_nationkey"].astype(np.int64),
+    )
+    sup = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = _pd.Series(
+        sup["s_nationkey"].astype(np.int64).to_numpy(),
+        index=sup["s_suppkey"].astype(np.int64),
+    )
+    bc = ray.put((nset, nname, smap))
+
+    def cust_in_region(batch: pa.Table) -> pa.Table:
+        ns, _, _ = ray.get(bc)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, ns)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()).filter(pa.array(keep)),
+                "c_nationkey": pa.array(nk[keep]),
+            }
+        )
+
+    lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"), type=pa.timestamp("us"))
+
+    def orders_in_year(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        )
+
+    cust = customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        cust_in_region, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ordy = orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_in_year, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ord_cust = bucket_hash_join(
+        ordy,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.multiply(
+                            batch["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                        ),
+                        100.0,
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_hash_join(
+        li,
+        ord_cust,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+        num_buckets=num_buckets,
+    )
+
+    def nation_match(batch: pa.Table) -> pa.Table:
+        _, names, sm = ray.get(bc)
+        sk = _pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        s_nat = sk.map(sm).to_numpy()
+        c_nat = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s_nat == c_nat
+        cents = batch["cents"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        nk = c_nat[keep]
+        t = pa.table(
+            {
+                "n_name": pa.array(
+                    _pd.Series(nk).map(names).to_numpy(), type=pa.string()
+                ),
+                "revenue_cents": pa.array(cents),
+            }
+        )
+        agg = t.group_by(["n_name"]).aggregate([("revenue_cents", "sum")])
+        return pa.table(
+            {"n_name": agg["n_name"], "revenue_cents": agg["revenue_cents_sum"]}
+        )
+
+    return (
+        joined.map_batches(nation_match, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "n_name"], descending=[True, False])
+    )

@@ -683,6 +683,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["event_type", "user_id"])
         )
 
+    def q_interleaved_span_stats(sf):
+        from azure_blob_crawler_ray.pipelines import spans
+
+        return spans.interleaved_span_stats(_read(sf, "documents", ["doc_id", "text"]))
+
     def q_regional_revenue(sf):
         return relational.regional_supplier_revenue(
             _read(sf, "customer", ["c_custkey", "c_nationkey"]),
@@ -946,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_weekday": q_events_by_weekday,
         "group_percent_rank": q_group_percent_rank,
         "regional_revenue": q_regional_revenue,
+        "interleaved_span_stats": q_interleaved_span_stats,
     }
 
 
@@ -2056,6 +2062,40 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # interleaved text+media span rollup on the derived layout
+        # (10-token text spans, one media span per 2 text spans)
+        "interleaved_span_stats": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, i, length(w[i]) AS wl
+                FROM toks,
+                     LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+                WHERE len(w) > 0
+            ), sp AS (
+                SELECT doc_id, CAST(FLOOR((i - 1) / 10) AS BIGINT) AS sidx,
+                       CAST(SUM(wl) + COUNT(*) - 1 AS BIGINT) AS chars
+                FROM pos GROUP BY doc_id, FLOOR((i - 1) / 10)
+            ), per_doc AS (
+                SELECT doc_id, COUNT(*) AS nspans, SUM(chars) AS tchars
+                FROM sp GROUP BY doc_id
+            )
+            SELECT * FROM (
+                SELECT 'media' AS kind,
+                       CAST(SUM(nspans // 2) AS BIGINT) AS n_spans,
+                       CAST(0 AS BIGINT) AS total_chars,
+                       CAST(COUNT(*) FILTER (WHERE nspans >= 2) AS BIGINT)
+                           AS n_docs
+                FROM per_doc
+                UNION ALL
+                SELECT 'text' AS kind,
+                       CAST(SUM(nspans) AS BIGINT),
+                       CAST(SUM(tchars) AS BIGINT),
+                       CAST(COUNT(*) AS BIGINT)
+                FROM per_doc
+            ) ORDER BY kind
         """,
         # TPC-H Q5-shaped six-table regional revenue join
         "regional_revenue": """

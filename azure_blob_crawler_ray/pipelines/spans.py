@@ -92,3 +92,69 @@ def span_kind_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
         )
         .sort("kind")
     )
+
+
+def interleaved_span_stats(
+    docs: ray.data.Dataset, *, span_tokens: int = 10, media_every: int = 2
+) -> ray.data.Dataset:
+    """Per-kind rollup over a DERIVED interleaved document: each doc's
+    text splits into consecutive ``span_tokens``-word text spans, with
+    one media span interleaved after every ``media_every`` text spans —
+    a deterministic, SQL-reproducible instance of the engine's
+    interleaved text+media layout (BASELINE.json input_hint), which
+    gives the span family an exact DuckDB oracle (the crawl-produced
+    variant, span_kind_stats, is rows-only by nature).
+
+    Output (kind, n_spans, total_chars, n_docs); text-span chars count
+    the single-space-joined window (sum of word lengths + gaps).
+    MAP-ONLY per batch + a 2-row groupby: span boundaries are pure
+    offset arithmetic over the flattened token array — nothing is
+    materialized per span."""
+    from .dataprep import _token_slices
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, starts, lens = _token_slices(batch)
+        G = -(-lens // span_tokens)  # ceil: text spans per doc
+        total_spans = int(G.sum())
+        if len(vals):
+            bl = pc.binary_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            bl = np.zeros(0, dtype=np.int64)
+        cb = np.r_[0, np.cumsum(bl)]
+        # span token-boundaries, vectorized across docs
+        sp_start = (
+            np.repeat(starts, G)
+            + span_tokens
+            * (
+                np.arange(total_spans, dtype=np.int64)
+                - np.repeat(np.cumsum(G) - G, G)
+            )
+        )
+        doc_end = np.repeat(starts + lens, G)
+        sp_end = np.minimum(sp_start + span_tokens, doc_end)
+        chars = cb[sp_end] - cb[sp_start] + (sp_end - sp_start - 1)
+        m = G // media_every
+        return pa.table(
+            {
+                "kind": pa.array(["media", "text"], type=pa.string()),
+                "n_spans": pa.array(
+                    [int(m.sum()), total_spans], type=pa.int64()
+                ),
+                "total_chars": pa.array([0, int(chars.sum())], type=pa.int64()),
+                "n_docs": pa.array(
+                    [int((m > 0).sum()), int((G > 0).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kind")
+        .aggregate(
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .sort("kind")
+    )

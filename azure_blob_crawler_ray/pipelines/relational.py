@@ -2377,6 +2377,12 @@ def bucket_hash_join(
     MIX = np.uint64(0x9E3779B97F4A7C15)
     lnames = [f.name for f in left_schema]
     rnames = [f.name for f in right_schema if f.name != right_on]
+    dup = set(lnames) & set(rnames)
+    if dup:
+        raise ValueError(
+            f"bucket_hash_join: column name collision {sorted(dup)} — "
+            "rename one side before joining"
+        )
     all_fields = [(n, left_schema.field(n).type) for n in lnames] + [
         (n, right_schema.field(n).type) for n in rnames
     ]
@@ -2882,6 +2888,15 @@ def regional_supplier_revenue(
     ordy = orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         orders_in_year, batch_format="pyarrow", zero_copy_batch=True
     )
+    # Bloom semi-join prune: fold the year-filtered orderkeys into a
+    # broadcast bit array (driver holds BITS, never keys) and drop
+    # non-matching line items MAP-SIDE before the join exchange — the
+    # year filter is ~1/7 selective, so ~6/7 of the fact rows never
+    # shuffle. False positives only pass extra rows into the exact join.
+    from ..functions.bloom import bloom_of_dataset
+
+    obloom = bloom_of_dataset(ordy.select_columns(["o_orderkey"]), "o_orderkey")
+    obloom_ref = ray.put(obloom)
     ord_cust = bucket_hash_join(
         ordy,
         cust,
@@ -2893,6 +2908,9 @@ def regional_supplier_revenue(
     )
 
     def li_proj(batch: pa.Table) -> pa.Table:
+        bf = ray.get(obloom_ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        batch = batch.filter(pa.array(bf.contains_many(keys)))
         cents = pc.cast(
             pc.floor(
                 pc.add(

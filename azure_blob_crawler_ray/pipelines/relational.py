@@ -2606,10 +2606,18 @@ def promo_revenue_monthly(
     promo = part.filter(expr=f"p_type == '{promo_type}'").select_columns(
         ["p_partkey"]
     ).to_pandas()
-    flag_ref = ray.put(np.sort(promo["p_partkey"].to_numpy().astype(np.int64)))
+    pk = promo["p_partkey"].to_numpy().astype(np.int64)
+    # packed bitmap, literally 1 bit per partkey id (keys are dense in
+    # TPC-H): 2^31 parts -> 256 MB, broadcastable where an int64 key
+    # array (16 GB) is not. Exact — no Bloom false positives here,
+    # promo membership changes cents.
+    size = int(pk.max()) + 1 if len(pk) else 1
+    dense = np.zeros(size, dtype=bool)
+    dense[pk] = True
+    flag_ref = ray.put((np.packbits(dense), size))
 
     def partial(batch: pa.Table) -> pa.Table:
-        hot = ray.get(flag_ref)
+        bits, size = ray.get(flag_ref)
         month = pc.strftime(batch["l_shipdate"], format="%Y-%m")
         cents = np.floor(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -2617,9 +2625,10 @@ def promo_revenue_monthly(
             * 100.0
             + 0.5
         ).astype(np.int64)
-        is_promo = np.isin(
-            batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64), hot
-        )
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inb = (k >= 0) & (k < size)
+        kk = np.where(inb, k, 0)
+        is_promo = inb & (((bits[kk >> 3] >> (7 - (kk & 7))) & 1).astype(bool))
         t = pa.table(
             {
                 "month": month,

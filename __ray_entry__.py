@@ -688,6 +688,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return spans.interleaved_span_stats(_read(sf, "documents", ["doc_id", "text"]))
 
+    def q_chunk_interleaved(sf):
+        from azure_blob_crawler_ray.pipelines import spans
+
+        derived = spans.derive_interleaved(
+            _read(sf, "documents", ["doc_id", "text"])
+        )
+        return spans.chunk_interleaved(derived, max_tokens=48, media_tokens=16)
+
     def q_regional_revenue(sf):
         return relational.regional_supplier_revenue(
             _read(sf, "customer", ["c_custkey", "c_nationkey"]),
@@ -952,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_percent_rank": q_group_percent_rank,
         "regional_revenue": q_regional_revenue,
         "interleaved_span_stats": q_interleaved_span_stats,
+        "chunk_interleaved": q_chunk_interleaved,
     }
 
 

@@ -158,3 +158,174 @@ def interleaved_span_stats(
         )
         .sort("kind")
     )
+
+
+def chunk_interleaved(
+    docs: ray.data.Dataset,
+    *,
+    max_tokens: int = 200,
+    media_tokens: int = 64,
+) -> ray.data.Dataset:
+    """Interleaved-aware chunking: slice each document's span sequence
+    into chunks of <= ``max_tokens`` where TEXT spans cost their
+    whitespace token count and MEDIA spans cost ``media_tokens`` and are
+    ATOMIC (never split) — the VLM-training constraint the reference's
+    text-only chunker (ref shared/utils/chunking.py:58-174) has no
+    notion of. Greedy in span order; a text span that alone exceeds the
+    budget is word-split greedily (media_tokens <= max_tokens is
+    asserted, so media spans always fit).
+
+    Output: one row per chunk (doc_id, chunk_seq, n_spans, text_tokens,
+    media_spans, total_cost) — per-row sequential by nature (chunking is
+    a sequential fold, exactly like the reference chunker); parallelism
+    is across documents, the only dimension that scales."""
+    assert media_tokens <= max_tokens
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lens, kind, text, _mref, _off = _spans_parts(batch)
+        kinds = kind.to_pylist()
+        texts = text.to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        out = {
+            "doc_id": [],
+            "chunk_seq": [],
+            "n_spans": [],
+            "text_tokens": [],
+            "media_spans": [],
+            "total_cost": [],
+        }
+        pos = 0
+        for did, n in zip(doc_ids, lens):
+            seq = 0
+            cur = [0, 0, 0, 0]  # n_spans, text_tokens, media_spans, cost
+
+            def flush():
+                nonlocal seq, cur
+                if cur[0]:
+                    out["doc_id"].append(did)
+                    out["chunk_seq"].append(seq)
+                    out["n_spans"].append(cur[0])
+                    out["text_tokens"].append(cur[1])
+                    out["media_spans"].append(cur[2])
+                    out["total_cost"].append(cur[3])
+                    seq += 1
+                    cur = [0, 0, 0, 0]
+
+            for i in range(pos, pos + int(n)):
+                if kinds[i] == "media":
+                    if cur[3] + media_tokens > max_tokens:
+                        flush()
+                    cur[0] += 1
+                    cur[2] += 1
+                    cur[3] += media_tokens
+                    continue
+                t = (texts[i] or "").split()
+                cost = len(t)
+                if cost == 0:
+                    continue
+                if cur[3] + cost <= max_tokens:
+                    cur[0] += 1
+                    cur[1] += cost
+                    cur[3] += cost
+                    continue
+                # split the text span greedily: fill the current chunk,
+                # then whole chunks, remainder stays open
+                rest = cost
+                while rest:
+                    room = max_tokens - cur[3]
+                    if room == 0:
+                        flush()
+                        room = max_tokens
+                    take = min(room, rest)
+                    cur[0] += 1
+                    cur[1] += take
+                    cur[3] += take
+                    rest -= take
+                    if cur[3] == max_tokens and rest:
+                        flush()
+            flush()
+            pos += int(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                "chunk_seq": pa.array(out["chunk_seq"], type=pa.int32()),
+                "n_spans": pa.array(out["n_spans"], type=pa.int32()),
+                "text_tokens": pa.array(out["text_tokens"], type=pa.int64()),
+                "media_spans": pa.array(out["media_spans"], type=pa.int32()),
+                "total_cost": pa.array(out["total_cost"], type=pa.int64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "spans"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def derive_interleaved(
+    docs: ray.data.Dataset, *, span_tokens: int = 10, media_every: int = 2
+) -> ray.data.Dataset:
+    """Materialize the derived interleaved layout (the numeric twin of
+    ``interleaved_span_stats``) as a real (doc_id, spans list<struct>)
+    dataset: consecutive ``span_tokens``-word text spans, one media span
+    after every ``media_every`` text spans, media_ref keyed by
+    (doc_id, ordinal). Gives span-consuming stages (chunk_interleaved,
+    media pipeline) a deterministic sf-table-driven input."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dids = batch["doc_id"].to_pylist()
+        span_col = []
+        for did, text in zip(dids, texts):
+            words = (text or "").split()
+            spans = [
+                {
+                    "kind": "text",
+                    "text": " ".join(words[k : k + span_tokens]),
+                    "media_ref": "",
+                    "offset": 0,  # rewritten below once media interleaves
+                }
+                for k in range(0, len(words), span_tokens)
+            ]
+            # media spans after every `media_every` text spans
+            out = []
+            t_seen = 0
+            off = 0
+            for s in spans:
+                s = dict(s)
+                s["offset"] = off
+                out.append(s)
+                off += 1
+                t_seen += 1
+                if t_seen % media_every == 0:
+                    out.append(
+                        {
+                            "kind": "media",
+                            "text": "",
+                            "media_ref": f"media://{did}/{off}",
+                            "offset": off,
+                        }
+                    )
+                    off += 1
+            span_col.append(out)
+        return pa.table(
+            {
+                "doc_id": pa.array([str(d) for d in dids], type=pa.string()),
+                "spans": pa.array(
+                    span_col,
+                    type=pa.list_(
+                        pa.struct(
+                            [
+                                ("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32()),
+                            ]
+                        )
+                    ),
+                ),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -193,6 +193,9 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "langid_confusion",
         "events_by_weekday",
         "group_percent_rank",
+        "regional_revenue",
+        "interleaved_span_stats",
+        "chunk_interleaved",
     ]
     out = {}
     for name in names:

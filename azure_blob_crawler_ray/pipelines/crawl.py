@@ -186,10 +186,12 @@ def _admit_router(actors: List, wave: int):
     return fn
 
 
-def _probe_router(actors: List, wave: int):
+def _probe_router(actors: List, wave: int, max_depth: int = 0):
     """map_groups fn (pyarrow): sorted-unique cuckoo probe, min-depth per
     hash. Arrow-native — the url strings never round-trip through pandas
-    object arrays."""
+    object arrays. ``max_depth`` is applied here (after the per-hash
+    min-depth aggregation, BEFORE the probe) when the explode stage
+    could not pre-filter — dropped URLs must never enter the filter."""
     import pyarrow.compute as pc
 
     def fn(t: pa.Table) -> pa.Table:
@@ -218,6 +220,15 @@ def _probe_router(actors: List, wave: int):
             t = t.filter(pa.array(first)).set_column(
                 i, "inlinks", pa.array(totals)
             )
+            if max_depth > 0:
+                # deferred trap guard (explode skipped it to keep the
+                # occurrence partials of deep duplicate discoveries):
+                # rows are min-depth representatives now, so this is the
+                # same set the in-batch filter would keep — and it runs
+                # BEFORE check_add, so dropped URLs never taint the
+                # seen filter
+                dep = t["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+                t = t.filter(pa.array(dep <= max_depth))
         else:
             t = t.filter(pa.array(first))
         h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -312,11 +323,15 @@ def _explode_links(
             )
             mindep = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(mindep, inv, dep_all)
-            if max_depth > 0:
+            if max_depth > 0 and not with_inlinks:
                 # trap guard: links beyond max_depth never reach the
                 # seen probe (so a later, shallower discovery can still
                 # crawl them). Safe as an in-batch pre-filter: dropping
-                # depth > max rows cannot change a surviving min.
+                # depth > max rows cannot change a surviving min — but
+                # it WOULD drop occurrence partials of a URL whose
+                # global min passes, so with inlink counting on the
+                # filter moves to the probe router (post-aggregation,
+                # pre-probe), where the global min depth is known.
                 keep = mindep <= max_depth
                 uniq, mindep, occ = uniq[keep], mindep[keep], occ[keep]
             dep = mindep.astype(np.int32)
@@ -715,7 +730,14 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         )
         fresh = (
             links.groupby("seen_shard")
-            .map_groups(_probe_router(seen, wave), batch_format="pyarrow")
+            .map_groups(
+                _probe_router(
+                    seen,
+                    wave,
+                    cfg.max_depth if cfg.inlink_priority else 0,
+                ),
+                batch_format="pyarrow",
+            )
             .drop_columns(["seen_shard"])
             .map_batches(
                 _rebuild_frontier_cols(wave, cfg.inlink_cap),

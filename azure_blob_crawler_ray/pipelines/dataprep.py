@@ -2218,7 +2218,10 @@ def gopher_quality(
         ends = starts + lens
         did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(vals):
-            bl = pc.binary_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+            # utf8_length (characters), matching the SQL twin's
+            # length(w) — binary_length counts BYTES and diverges on
+            # any non-ASCII token
+            bl = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
             sh = pc.is_in(vals, value_set=stop_set).to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             bl = np.zeros(0, dtype=np.int64)

@@ -51,9 +51,9 @@ class RefreshResult:
     waves_read: List[int] = field(default_factory=list)
 
 
-def _prev_documents(prev_out_dir: str) -> ray.data.Dataset:
-    """Previous crawl's document rows (skipped fetches excluded),
-    projected to exactly what the refresh needs."""
+def _prev_documents(prev_out_dir: str) -> tuple[ray.data.Dataset, List[int]]:
+    """(previous crawl's document rows, wave numbers read). Skipped
+    fetches excluded; projected to exactly what the refresh needs."""
     doc_root = os.path.join(prev_out_dir, "documents")
     waves = sorted(d for d in os.listdir(doc_root) if d.startswith("wave-"))
     tables = []
@@ -101,9 +101,44 @@ def refresh_crawl(
         new_fp = batch["content_fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
         old_fp = batch["prev_fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
         changed = ~skipped & (new_fp != old_fp)
-        unchanged = ~skipped & (new_fp == old_fp)
         state = np.where(skipped, "failed", np.where(changed, "changed", "unchanged"))
-        return batch.append_column("refresh_state", pa.array(state.tolist(), type=pa.string()))
+        out = batch.append_column(
+            "refresh_state", pa.array(state.tolist(), type=pa.string())
+        )
+        # the 304 semantics applied to MEMORY too: unchanged/failed rows
+        # blank their heavy payload columns (full_content, spans, links)
+        # before materialization, so the pinned footprint is the changed
+        # DELTA plus narrow rows — not the whole refetched corpus
+        keep = pa.array(changed)
+        empty_text = pa.array([""] * batch.num_rows, type=pa.string())
+        fc = out.schema.get_field_index("full_content")
+        out = out.set_column(
+            fc, "full_content",
+            pc.if_else(keep, out["full_content"].combine_chunks()
+                       if isinstance(out["full_content"], pa.ChunkedArray)
+                       else out["full_content"], empty_text),
+        )
+        sp = out.schema.get_field_index("spans")
+        spans_col = out["spans"]
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        # if_else lacks a list<struct> kernel: take-based select instead
+        sel = np.where(
+            changed, np.arange(batch.num_rows), batch.num_rows
+        )
+        spans_with_empty = pa.concat_arrays(
+            [spans_col, pa.array([[]], type=spans_col.type)]
+        )
+        out = out.set_column(sp, "spans", spans_with_empty.take(pa.array(sel)))
+        lk = out.schema.get_field_index("links")
+        links_col = out["links"]
+        if isinstance(links_col, pa.ChunkedArray):
+            links_col = links_col.combine_chunks()
+        links_with_empty = pa.concat_arrays(
+            [links_col, pa.array([[]], type=links_col.type)]
+        )
+        out = out.set_column(lk, "links", links_with_empty.take(pa.array(sel)))
+        return out
 
     classified = parsed.map_batches(
         classify, batch_format="pyarrow", zero_copy_batch=True

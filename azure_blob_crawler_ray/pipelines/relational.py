@@ -2603,21 +2603,31 @@ def promo_revenue_monthly(
     shuffle; the only exchange is the month groupby of per-block
     partial sums (tiny). Cents are floored per row (same double
     expression as the SQL twin) then summed as int64 — exact."""
-    promo = part.filter(expr=f"p_type == '{promo_type}'").select_columns(
-        ["p_partkey"]
-    ).to_pandas()
-    pk = promo["p_partkey"].to_numpy().astype(np.int64)
-    # packed bitmap, literally 1 bit per partkey id (keys are dense in
-    # TPC-H): 2^31 parts -> 256 MB, broadcastable where an int64 key
-    # array (16 GB) is not. Exact — no Bloom false positives here,
-    # promo membership changes cents.
-    size = int(pk.max()) + 1 if len(pk) else 1
+    parts_pd = part.select_columns(["p_partkey", "p_type"]).to_pandas()
+    all_pk = parts_pd["p_partkey"].to_numpy().astype(np.int64)
+    pk = parts_pd[parts_pd["p_type"] == promo_type]["p_partkey"].to_numpy().astype(np.int64)
+    # two packed bitmaps, literally 1 bit per partkey id (keys are dense
+    # in TPC-H): 2^31 parts -> 256 MB each, broadcastable where an int64
+    # key array (16 GB) is not. Exact — no Bloom false positives here,
+    # membership changes cents. The EXISTS bitmap mirrors the SQL twin's
+    # INNER JOIN: a lineitem whose partkey has no part row contributes
+    # to NEITHER sum.
+    size = int(all_pk.max()) + 1 if len(all_pk) else 1
+    exists = np.zeros(size, dtype=bool)
+    exists[all_pk] = True
     dense = np.zeros(size, dtype=bool)
-    dense[pk] = True
-    flag_ref = ray.put((np.packbits(dense), size))
+    if len(pk):
+        dense[pk] = True
+    flag_ref = ray.put((np.packbits(dense), np.packbits(exists), size))
 
     def partial(batch: pa.Table) -> pa.Table:
-        bits, size = ray.get(flag_ref)
+        bits, exists_bits, size = ray.get(flag_ref)
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inb = (k >= 0) & (k < size)
+        kk = np.where(inb, k, 0)
+        known = inb & (((exists_bits[kk >> 3] >> (7 - (kk & 7))) & 1).astype(bool))
+        batch = batch.filter(pa.array(known))  # SQL INNER JOIN semantics
+        k = kk[known]
         month = pc.strftime(batch["l_shipdate"], format="%Y-%m")
         cents = np.floor(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -2625,10 +2635,7 @@ def promo_revenue_monthly(
             * 100.0
             + 0.5
         ).astype(np.int64)
-        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        inb = (k >= 0) & (k < size)
-        kk = np.where(inb, k, 0)
-        is_promo = inb & (((bits[kk >> 3] >> (7 - (kk & 7))) & 1).astype(bool))
+        is_promo = ((bits[k >> 3] >> (7 - (k & 7))) & 1).astype(bool)
         t = pa.table(
             {
                 "month": month,

@@ -117,7 +117,8 @@ def interleaved_span_stats(
         G = -(-lens // span_tokens)  # ceil: text spans per doc
         total_spans = int(G.sum())
         if len(vals):
-            bl = pc.binary_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+            # characters (utf8_length) to match the SQL twin's length(w)
+            bl = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             bl = np.zeros(0, dtype=np.int64)
         cb = np.r_[0, np.cumsum(bl)]

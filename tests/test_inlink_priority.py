@@ -99,3 +99,16 @@ def test_inlink_priority_values(tmp_path):
         assert np.all(ratio >= 1.0 - 1e-6)
         assert np.allclose(ratio, np.round(ratio), atol=1e-4)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_inlink_with_max_depth_matches_oracle(tmp_path):
+    """The two flags interact: occurrence partials of deep duplicate
+    discoveries must still count when the URL's global min depth passes
+    the trap guard (the guard moves to the probe router)."""
+    out = str(tmp_path / "dm")
+    cfg = _cfg(out, max_depth=2, max_waves=3)
+    res = run_crawl(cfg)
+    sim = simulate_crawl(cfg)
+    assert _engine_order(cfg.out_dir, res.waves_run) == sim.order
+    assert np.array_equal(res.seen_digest, sim.seen_digest)
+    shutil.rmtree(out, ignore_errors=True)

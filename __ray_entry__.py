@@ -696,6 +696,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return spans.chunk_interleaved(derived, max_tokens=48, media_tokens=16)
 
+    def q_semdedup(sf):
+        # threshold matched to the synthetic embedding density (the
+        # exact all-pairs baseline finds pairs at 0.5; the sf tables
+        # have no 0.95-cosine semantic dups)
+        return similarity.semdedup(
+            _read(sf, "embeddings", ["vec_id", "embedding"]), threshold=0.5
+        )
+
+    def q_mix_sources(sf):
+        return dataprep.mix_sources(
+            _read(sf, "documents", ["doc_id", "text", "source"])
+        )
+
     def q_regional_revenue(sf):
         return relational.regional_supplier_revenue(
             _read(sf, "customer", ["c_custkey", "c_nationkey"]),
@@ -961,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": q_regional_revenue,
         "interleaved_span_stats": q_interleaved_span_stats,
         "chunk_interleaved": q_chunk_interleaved,
+        "mix_sources": q_mix_sources,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2071,6 +2086,17 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # source-mixture sampling: content-hash uniform vs per-source
+        # weight (N%4+1)/4 for srcN
+        "mix_sources": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS u,
+                       (CAST(substr(source, 4) AS BIGINT) % 4 + 1)
+                           * 1073741824 AS cut
+                FROM documents
+            ) WHERE u < cut ORDER BY doc_id
         """,
         # interleaved text+media span rollup on the derived layout
         # (10-token text spans, one media span per 2 text spans)

@@ -2431,3 +2431,42 @@ def langid_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
         .aggregate(Sum("n_docs", alias_name="n_docs"))
         .sort(["lang", "pred_lang"])
     )
+
+
+def mix_sources(
+    docs: ray.data.Dataset, weights: Dict[str, float] | None = None
+) -> ray.data.Dataset:
+    """Source-mixture sampling: keep each document with a per-source
+    probability — the data-mixing step that turns raw source
+    proportions into a training mixture (e.g. upweight encyclopedic,
+    downweight forum). The accept decision is CONTENT-KEYED (first 8
+    hex of md5(text) as a uniform in [0, 2^32)), so it is deterministic,
+    resharding-proof and SQL-reproducible — the same convention as
+    stable_split / stratified_sample. MAP-ONLY: the weight table is a
+    handful of floats captured in the closure; no shuffle, no driver
+    materialization.
+
+    Output: the kept (doc_id, source) rows. The default weight table
+    cycles 0.25/0.5/0.75/1.0 over the synthetic ``srcN`` names
+    (weight(srcN) = (N % 4 + 1)/4), chosen to be SQL-expressible."""
+    weights = weights or {f"src{i}": (i % 4 + 1) / 4.0 for i in range(64)}
+    thr = {s: int(w * (1 << 32)) for s, w in weights.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = md5_hex(batch["text"].to_pylist())
+        u = np.array([int(f[:8], 16) for f in fps], dtype=np.int64)
+        src = batch["source"].to_pylist()
+        cut = np.array([thr.get(s, 0) for s in src], dtype=np.int64)
+        keep = u < cut
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "source": pa.array(
+                    [s for s, k in zip(src, keep) if k], type=pa.string()
+                ),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text", "source"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -542,3 +542,72 @@ def quantized_topk(
             }
         )
     )
+
+
+def semdedup(
+    emb: ray.data.Dataset,
+    *,
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int = 20_000,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with the deterministic sampled
+    k-means, then WITHIN each cluster mark every vector whose cosine to
+    a lower-id cluster member exceeds ``threshold`` as a semantic
+    duplicate — keep = the lowest vec_id of each semantic group, the
+    same keeper rule as the exact dedup family.
+
+    Scale shape: the only exchange is one groupby on the centroid
+    assignment (computed map-side against the broadcast centroid
+    matrix); within a cluster the pairwise check is one vectorized
+    GEMM + upper-triangle mask. Cluster size is the working-set bound —
+    ``num_centroids`` must scale so clusters fit a worker (the same
+    contract as the paper's k ~ N/10k); clusters beyond ``max_cluster``
+    rows are truncated to their ``max_cluster`` lowest ids for the
+    pairwise pass (documented, not silent: the overflow keeps rows
+    unmarked rather than failing).
+
+    Output: (vec_id, cluster, is_dup) for every vector."""
+    cm = kmeans_centroids(emb, k=num_centroids)
+    cm_ref = ray.put(cm.T)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ct = ray.get(cm_ref)
+        X = _normalize(np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64))
+        a = np.argmax(X @ ct, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": _pc.cast(batch["vec_id"], pa.int64()),
+                "embedding": batch["embedding"],
+                "cluster": pa.array(a),
+            }
+        )
+
+    def dedup_cluster(df) -> "pa.Table":
+        df = df.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        work = min(n, max_cluster)
+        X = _normalize(np.stack(df["embedding"].to_numpy()[:work]).astype(np.float64))
+        sim = X @ X.T
+        dup_head = (np.triu(sim > threshold, k=1)).any(axis=0)
+        is_dup = np.zeros(n, dtype=bool)
+        is_dup[:work] = dup_head
+        return pa.table(
+            {
+                "vec_id": pa.array(df["vec_id"].to_numpy().astype(np.int64)),
+                "cluster": pa.array(df["cluster"].to_numpy().astype(np.int32)),
+                "is_dup": pa.array(is_dup),
+            }
+        )
+
+    return (
+        emb.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+        .sort("vec_id")
+    )

@@ -196,6 +196,8 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "regional_revenue",
         "interleaved_span_stats",
         "chunk_interleaved",
+        "mix_sources",
+        "semdedup",
     ]
     out = {}
     for name in names:

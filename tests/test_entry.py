@@ -39,6 +39,11 @@ CHECKED = [
     "events_daily",
     "order_priority",
     "parts_by_brand",
+    "gopher_quality",
+    "intra_doc_repetition",
+    "mix_sources",
+    "events_by_weekday",
+    "group_percent_rank",
 ]
 
 

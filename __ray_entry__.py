@@ -696,6 +696,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return spans.chunk_interleaved(derived, max_tokens=48, media_tokens=16)
 
+    def q_brand_revenue(sf):
+        return relational.brand_revenue(
+            _read(sf, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]),
+            _read(sf, "part", ["p_partkey", "p_brand"]),
+        )
+
     def q_semdedup(sf):
         # threshold matched to the synthetic embedding density (the
         # exact all-pairs baseline finds pairs at 0.5; the sf tables
@@ -976,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_interleaved": q_chunk_interleaved,
         "mix_sources": q_mix_sources,
         "semdedup": q_semdedup,
+        "brand_revenue": q_brand_revenue,
     }
 
 
@@ -2086,6 +2093,17 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # fact-dim broadcast join + brand revenue rollup
+        "brand_revenue": """
+            SELECT p.p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                       * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+            ORDER BY revenue_cents DESC, p.p_brand
         """,
         # source-mixture sampling: content-hash uniform vs per-source
         # weight (N%4+1)/4 for srcN

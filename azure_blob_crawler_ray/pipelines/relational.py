@@ -2994,3 +2994,61 @@ def regional_supplier_revenue(
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
         .sort(["revenue_cents", "n_name"], descending=[True, False])
     )
+
+
+def brand_revenue(
+    lineitem: ray.data.Dataset, part: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Revenue rollup by part brand: the fact-dim broadcast join + agg
+    archetype (part is a dimension; its (partkey -> brand) projection
+    broadcasts once via ray.put and the fact table never shuffles raw —
+    the exchange moves #brands rows per block).
+
+    Output (p_brand, n_items, revenue_cents), ordered by revenue."""
+    pp = part.select_columns(["p_partkey", "p_brand"]).to_pandas()
+    bmap = pd.Series(
+        pp["p_brand"].to_numpy(), index=pp["p_partkey"].astype(np.int64)
+    )
+    bref = ray.put(bmap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        k = pd.Series(
+            batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        brand = k.map(bm)
+        known = brand.notna().to_numpy()  # INNER-JOIN semantics
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)[known]
+        t = pa.table(
+            {
+                "p_brand": pa.array(brand.to_numpy()[known], type=pa.string()),
+                "n_items": pa.array(np.ones(int(known.sum()), dtype=np.int64)),
+                "revenue_cents": pa.array(cents),
+            }
+        )
+        agg = t.group_by(["p_brand"]).aggregate(
+            [("n_items", "sum"), ("revenue_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "p_brand": agg["p_brand"],
+                "n_items": agg["n_items_sum"],
+                "revenue_cents": agg["revenue_cents_sum"],
+            }
+        )
+
+    return (
+        lineitem.select_columns(["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .sort(["revenue_cents", "p_brand"], descending=[True, False])
+    )

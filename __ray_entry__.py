@@ -696,6 +696,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return spans.chunk_interleaved(derived, max_tokens=48, media_tokens=16)
 
+    def q_order_line_histogram(sf):
+        return relational.order_line_histogram(_read(sf, "lineitem", ["l_orderkey"]))
+
     def q_brand_revenue(sf):
         return relational.brand_revenue(
             _read(sf, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]),
@@ -983,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": q_mix_sources,
         "semdedup": q_semdedup,
         "brand_revenue": q_brand_revenue,
+        "order_line_histogram": q_order_line_histogram,
     }
 
 
@@ -2093,6 +2097,15 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # aggregate-of-aggregate (Q13 shape): order size distribution
+        "order_line_histogram": """
+            SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM (
+                SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM lineitem GROUP BY l_orderkey
+            )
+            GROUP BY n_lines ORDER BY n_lines
         """,
         # fact-dim broadcast join + brand revenue rollup
         "brand_revenue": """

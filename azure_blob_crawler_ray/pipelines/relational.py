@@ -3052,3 +3052,48 @@ def brand_revenue(
         )
         .sort(["revenue_cents", "p_brand"], descending=[True, False])
     )
+
+
+def order_line_histogram(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Aggregate-of-aggregate (TPC-H Q13's shape): line-item count per
+    order, then the distribution of those counts — (n_lines, n_orders).
+
+    Scale shape: level 1 pre-aggregates map-side (one Arrow group_by per
+    block) and shuffles one row per (order × block); level 2's input is
+    one row per ORDER but its partials collapse map-side again to one
+    row per (n_lines × block), so the second exchange is histogram-
+    sized. Nothing touches the driver."""
+
+    def l1_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = t.group_by(["l_orderkey"]).aggregate([("n", "sum")])
+        return pa.table({"l_orderkey": agg["l_orderkey"], "n": agg["n_sum"]})
+
+    per_order = (
+        lineitem.select_columns(["l_orderkey"])
+        .map_batches(l1_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("n", alias_name="n_lines"))
+    )
+
+    def l2_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["n_lines"].combine_chunks() if isinstance(
+            batch["n_lines"], pa.ChunkedArray) else batch["n_lines"])
+        return pa.table(
+            {
+                "n_lines": pc.cast(vc.field("values"), pa.int64()),
+                "n_orders": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        per_order.map_batches(l2_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_lines")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort("n_lines")
+    )

@@ -696,6 +696,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return spans.chunk_interleaved(derived, max_tokens=48, media_tokens=16)
 
+    def q_late_shipments(sf):
+        return relational.late_shipment_orders(
+            _read(sf, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"]),
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate"]),
+        )
+
     def q_order_line_histogram(sf):
         return relational.order_line_histogram(_read(sf, "lineitem", ["l_orderkey"]))
 
@@ -987,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "brand_revenue": q_brand_revenue,
         "order_line_histogram": q_order_line_histogram,
+        "late_shipments": q_late_shipments,
     }
 
 
@@ -2097,6 +2104,17 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # Q4-shaped correlated EXISTS: orders with a late line item
+        "late_shipments": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         # aggregate-of-aggregate (Q13 shape): order size distribution
         "order_line_histogram": """

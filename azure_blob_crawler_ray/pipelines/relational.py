@@ -3097,3 +3097,101 @@ def order_line_histogram(lineitem: ray.data.Dataset) -> ray.data.Dataset:
         .aggregate(Sum("n_orders", alias_name="n_orders"))
         .sort("n_lines")
     )
+
+
+def late_shipment_orders(
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q4-shaped correlated EXISTS: orders per priority that have
+    at least one line item shipped AFTER the order date.
+
+    Scale shape: the EXISTS collapses to a pre-aggregated semi-join —
+    per order, only max(l_shipdate) decides the predicate, so line
+    items reduce map-side (one Arrow group_by per block) to one row per
+    (order × block), one orderkey groupby takes the max, one sparse-safe
+    ``bucket_hash_join`` pairs it with the order row, and the predicate
+    + priority rollup are map-side. The fact table never shuffles raw
+    rows; the final exchange is #priorities-sized."""
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(batch["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+        agg = t.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        return pa.table(
+            {"l_orderkey": agg["l_orderkey"], "ship_us": agg["ship_us_max"]}
+        )
+
+    max_ship = (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="max_ship_us"))
+    )
+
+    def ord_proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "order_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    joined = bucket_hash_join(
+        orders.select_columns(
+            ["o_orderkey", "o_orderpriority", "o_orderdate"]
+        ).map_batches(ord_proj, batch_format="pyarrow", zero_copy_batch=True),
+        max_ship,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderpriority", pa.string()),
+                ("order_us", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("max_ship_us", pa.int64())]
+        ),
+        num_buckets=num_buckets,
+    )
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["max_ship_us"], batch["order_us"])
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"].combine_chunks()
+                if isinstance(batch["o_orderpriority"], pa.ChunkedArray)
+                else batch["o_orderpriority"],
+                "n": pc.cast(late, pa.int64()),
+            }
+        )
+        agg = t.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"o_orderpriority": agg["o_orderpriority"], "n_orders": agg["n_sum"]}
+        )
+
+    return (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        # EXISTS semantics: a priority whose orders are all on time has
+        # no row at all (the SQL twin's WHERE filters before GROUP BY)
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["n_orders"], 0)),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderpriority")
+    )

@@ -100,3 +100,19 @@ def test_refresh_static_web_all_unchanged(tmp_path):
     res = refresh_crawl(cfg, out, content_epoch=5)
     assert res.changed == 0 and res.unchanged == res.checked and res.checked > 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_refresh_emit_index_only_changed(crawled, tmp_path):
+    cfg = crawled
+    res = refresh_crawl(
+        cfg, cfg.out_dir, content_epoch=3,
+        out_dir=str(tmp_path / "ridx"), emit_index=True,
+    )
+    idx = read_table_arrow(os.path.join(res.out_dir, "index"))
+    docs = read_table_arrow(os.path.join(res.out_dir, "documents"))
+    assert docs.num_rows == res.changed
+    # every index row belongs to a changed doc (ids are {doc_id}_chunk_{i})
+    changed_ids = set(docs["doc_id"].to_pylist())
+    assert idx.num_rows >= res.changed  # >= 1 chunk per changed doc
+    for i in idx["id"].to_pylist()[:50]:
+        assert i.rsplit("_chunk_", 1)[0] in changed_ids

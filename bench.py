@@ -198,6 +198,9 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "chunk_interleaved",
         "mix_sources",
         "semdedup",
+        "brand_revenue",
+        "order_line_histogram",
+        "late_shipments",
     ]
     out = {}
     for name in names:

@@ -696,6 +696,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return spans.chunk_interleaved(derived, max_tokens=48, media_tokens=16)
 
+    def q_cumulative_revenue(sf):
+        return relational.cumulative_revenue(
+            _read(sf, "orders", ["o_orderdate", "o_totalprice"])
+        )
+
     def q_late_shipments(sf):
         return relational.late_shipment_orders(
             _read(sf, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"]),
@@ -994,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q_brand_revenue,
         "order_line_histogram": q_order_line_histogram,
         "late_shipments": q_late_shipments,
+        "cumulative_revenue": q_cumulative_revenue,
     }
 
 
@@ -2104,6 +2110,18 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * distinct_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS INTEGER) AS kept
             FROM per ORDER BY doc_id
+        """,
+        # running total over the aggregated month series
+        "cumulative_revenue": """
+            SELECT month, month_cents,
+                   CAST(SUM(month_cents) OVER (ORDER BY month) AS BIGINT)
+                       AS cum_cents
+            FROM (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS month_cents
+                FROM orders GROUP BY month
+            ) ORDER BY month
         """,
         # Q4-shaped correlated EXISTS: orders with a late line item
         "late_shipments": """

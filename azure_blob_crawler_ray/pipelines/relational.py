@@ -3195,3 +3195,33 @@ def late_shipment_orders(
         )
         .sort("o_orderpriority")
     )
+
+
+def cumulative_revenue(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Running revenue: per order month, the month's cents and the
+    cumulative cents to date (SUM() OVER (ORDER BY month)). The fact
+    scan reduces map-side to per-(month × block) partials; the running
+    sum is computed on the AGGREGATED series (#months rows — calendar-
+    bounded regardless of corpus size), the one place a driver-side
+    cumsum is scale-correct."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.strftime(batch["o_orderdate"], format="%Y-%m")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        t = pa.table({"month": month, "cents": cents})
+        agg = t.group_by(["month"]).aggregate([("cents", "sum")])
+        return pa.table({"month": agg["month"], "cents": agg["cents_sum"]})
+
+    series = (
+        orders.select_columns(["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="month_cents"))
+        .sort("month")
+        .to_pandas()  # calendar-bounded: one row per month
+    )
+    series["cum_cents"] = series["month_cents"].cumsum().astype(np.int64)
+    return series

@@ -724,6 +724,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["vec_id", "embedding"]), threshold=0.5
         )
 
+    def q_returned_item_revenue(sf):
+        from azure_blob_crawler_ray.pipelines import tpch2
+
+        return tpch2.returned_item_revenue(
+            _read(sf, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_name"]),
+        )
+
+    def q_top_revenue_supplier(sf):
+        from azure_blob_crawler_ray.pipelines import tpch2
+
+        return tpch2.top_revenue_supplier(
+            _read(sf, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+            _read(sf, "supplier", ["s_suppkey", "s_name"]),
+        )
+
+    def q_disjunctive_revenue(sf):
+        from azure_blob_crawler_ray.pipelines import tpch2
+
+        return tpch2.disjunctive_revenue(
+            _read(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]),
+            _read(sf, "part", ["p_partkey", "p_brand", "p_size"]),
+        )
+
+    def q_dormant_rich_customers(sf):
+        from azure_blob_crawler_ray.pipelines import tpch2
+
+        return tpch2.dormant_rich_customers(
+            _read(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+            _read(sf, "orders", ["o_custkey", "o_orderdate"]),
+        )
+
+    def q_scrub_values(sf):
+        return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
+
+    def q_centroid_outliers(sf):
+        return similarity.centroid_outliers(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"]),
+            threshold=-0.05,
+        )
+
     def q_mix_sources(sf):
         return dataprep.mix_sources(
             _read(sf, "documents", ["doc_id", "text", "source"])
@@ -1000,6 +1042,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_line_histogram": q_order_line_histogram,
         "late_shipments": q_late_shipments,
         "cumulative_revenue": q_cumulative_revenue,
+        "returned_item_revenue": q_returned_item_revenue,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "dormant_rich_customers": q_dormant_rich_customers,
+        "scrub_values": q_scrub_values,
+        "centroid_outliers": q_centroid_outliers,
     }
 
 
@@ -2341,5 +2389,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
                    CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams
             FROM grams GROUP BY doc_id ORDER BY doc_id
+        """,
+        # TPC-H Q10-shaped: top-20 customers by returned-item revenue
+        "returned_item_revenue": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                      * 100.0 + 0.5) AS BIGINT)) AS cents
+                FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+            )
+            SELECT c.c_custkey, c.c_name,
+                   ROUND(SUM(li.cents) / 100.0, 2) AS revenue
+            FROM li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY SUM(li.cents) DESC, c.c_custkey
+            LIMIT 20
+        """,
+        # TPC-H Q15-shaped: supplier(s) at the global 3-month revenue max
+        "top_revenue_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                      * 100.0 + 0.5) AS BIGINT)) AS cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   ROUND(rev.cents / 100.0, 2) AS total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.cents = (SELECT MAX(cents) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        # TPC-H Q19-shaped: disjunctive brand/size/quantity clause revenue
+        "disjunctive_revenue": """
+            WITH clauses(clause_id, brand, smin, smax, qmin, qmax) AS (
+                VALUES (0, 'Brand#12', 1, 15, 1.0, 21.0),
+                       (1, 'Brand#23', 1, 25, 10.0, 30.0),
+                       (2, 'Brand#4', 1, 50, 20.0, 40.0)
+            )
+            SELECT c.clause_id,
+                   ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                        * 100.0 + 0.5) AS BIGINT)) / 100.0,
+                         2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN clauses c
+              ON p.p_brand = c.brand
+             AND p.p_size BETWEEN c.smin AND c.smax
+             AND l.l_quantity BETWEEN c.qmin AND c.qmax
+            GROUP BY c.clause_id ORDER BY c.clause_id
+        """,
+        # TPC-H Q22-shaped: above-global-average balance, no recent orders
+        "dormant_rich_customers": """
+            WITH cb AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+                FROM customer
+            ), bal AS (
+                SELECT SUM(bal_cents) AS tot, COUNT(*) AS cnt
+                FROM cb WHERE bal_cents > 0
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   ROUND(SUM(bal_cents) / 100.0, 2) AS totacctbal
+            FROM cb, bal
+            WHERE cb.bal_cents * bal.cnt > bal.tot
+              AND cb.c_custkey NOT IN (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # streaming PII scrub: RE2 replace + redaction count (both engines RE2)
+        "scrub_values": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                       AS n_redacted
+            FROM events ORDER BY event_id
+        """,
+        # own-label-centroid cosine outliers (exact-integer centroids as in
+        # nearest_centroid; vectors L2-normalized for the threshold compare)
+        "centroid_outliers": """
+            WITH ex AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), cent AS (
+                SELECT label AS clabel, pos,
+                       SUM(FLOOR(v * 1048576.0)) / COUNT(*) AS c
+                FROM ex GROUP BY label, pos
+            ), cnorm AS (
+                SELECT clabel, pos,
+                       c / SQRT(SUM(c*c) OVER (PARTITION BY clabel)) AS cn
+                FROM cent
+            ), vnorm AS (
+                SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ex GROUP BY vec_id
+            ), scores AS (
+                SELECT ex.vec_id, ex.label,
+                       SUM((ex.v / NULLIF(vn.nrm, 0)) * cn.cn) AS score
+                FROM ex
+                JOIN cnorm cn ON ex.pos = cn.pos AND ex.label = cn.clabel
+                JOIN vnorm vn ON vn.vec_id = ex.vec_id
+                GROUP BY ex.vec_id, ex.label
+            )
+            SELECT vec_id, CAST(label AS BIGINT) AS label
+            FROM scores WHERE score < -0.05 ORDER BY vec_id
         """,
     }

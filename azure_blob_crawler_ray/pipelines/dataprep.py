@@ -1666,6 +1666,47 @@ def regex_match_stats(
     )
 
 
+def scrub_values(
+    events: ray.data.Dataset,
+    *,
+    pattern: str = "[0-9]+",
+    replacement: str = "<NUM>",
+) -> ray.data.Dataset:
+    """PII / sensitive-value redaction as a STREAMING MAP — every numeric
+    run in the event payload (`props`, a JSON string) is replaced with a
+    placeholder, and the count of redactions rides along per row.  This
+    is the scrub pass a training-data pipeline runs before anything else
+    touches raw logs (emails / phone numbers / account ids are the same
+    regex-replace kernel with a different pattern).
+
+    Vectorization: ``pc.replace_substring_regex`` and
+    ``pc.count_substring_regex`` are RE2 over the whole Arrow column —
+    no Python in the hot path, and DuckDB's ``regexp_replace(...,'g')``
+    (also RE2) reproduces the output byte-for-byte as the oracle.
+
+    Scale shape: map-only — zero shuffles, zero state; the operator
+    streams at read speed and composes in front of any downstream
+    pipeline stage."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "scrubbed": pc.replace_substring_regex(
+                    batch["props"], pattern=pattern, replacement=replacement
+                ),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(batch["props"], pattern=pattern),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return events.select_columns(["event_id", "props"]).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def weighted_sample(
     docs: ray.data.Dataset,
     *,

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count
@@ -474,6 +475,49 @@ def nearest_centroid(
         )
 
     return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_outliers(
+    emb: ray.data.Dataset, *, threshold: float = 0.0, scale_bits: int = 20
+) -> ray.data.Dataset:
+    """Embedding-space OUTLIER detection — vectors whose cosine to their
+    OWN label's centroid falls below ``threshold`` (mislabeled / noisy /
+    off-distribution examples, the curation filter run before training).
+
+    Same machinery as ``nearest_centroid``: exact-integer centroids
+    (label_centroids) normalized once on the driver and broadcast via
+    ``ray.put``; each batch does one row-gather + one einsum against the
+    broadcast matrix and emits only the outlier rows — map-only after
+    the tiny centroid aggregate, no further exchange.  The score that
+    crosses the conformance boundary is the (vec_id, label) identity of
+    the flagged rows, so the float threshold only needs a margin wider
+    than double rounding noise (verified at sf0.01 by the parity gate)."""
+    cent = label_centroids(emb, scale_bits=scale_bits).to_pandas()
+    labels = np.sort(cent["label"].unique())
+    d = int(cent["pos"].max())
+    C = np.zeros((len(labels), d), dtype=np.float64)
+    for i, lab in enumerate(labels):
+        sub = cent[cent["label"] == lab].sort_values("pos")
+        C[i] = sub["sum_q"].to_numpy() / sub["n_vals"].to_numpy()
+    C = _normalize(C)
+    row_of = {int(lab): i for i, lab in enumerate(labels)}
+    ref = ray.put((C, row_of))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        C_, rows = ray.get(ref)
+        m = _normalize(_emb_matrix(batch).astype(np.float64))
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.asarray([rows[int(x)] for x in lab], dtype=np.int64)
+        own = np.einsum("ij,ij->i", m, C_[idx])
+        keep = own < threshold
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()).filter(pa.array(keep)),
+                "label": pa.array(lab[keep], type=pa.int64()),
+            }
+        )
+
+    return emb.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quantized_topk(

@@ -1,0 +1,421 @@
+"""Additional TPC-H-shaped distributed join/aggregate patterns the
+round-1/2 relational family did not yet demonstrate (SURVEY.md §2.4-2.6
+generic shapes; reference analog = the wide lookup/aggregate steps its
+indexer performs via Azure services, e.g. shared/azure_clients/
+search_client.py:214-259):
+
+  * Q10: fact-fact join + top-k + bounded driver-side decoration of only
+    the k winners (never the whole dimension);
+  * Q15: global-argmax against a distributed aggregate (the scalar max
+    is computed FROM the small aggregate, then broadcast as a filter);
+  * Q19: disjunctive multi-clause predicate join — part attributes
+    broadcast as dense positional arrays so the OR-of-ANDs predicate is
+    evaluated map-side with zero join exchange;
+  * Q22: global scalar subquery (avg positive balance) + windowed
+    anti-join (customers with no RECENT orders) + small rollup.
+
+Money is aggregated in exact int64 cents (floor(x*100+0.5)) and divided
+back to 2-decimal doubles only at the boundary, so value hashes match the
+SQL oracle bit-for-bit."""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .relational import bucket_hash_join
+
+
+def _cents(price: "pa.Array", disc: "pa.Array") -> "pa.Array":
+    """floor(extendedprice*(1-disc)*100 + 0.5) as int64 — the pinned
+    exact-cents formula shared with the SQL oracle."""
+    return pc.cast(
+        pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)), 100.0
+                ),
+                0.5,
+            )
+        ),
+        pa.int64(),
+    )
+
+
+def _ts(day: str) -> pa.Scalar:
+    return pa.scalar(np.datetime64(day, "us"), type=pa.timestamp("us"))
+
+
+def _names_for_keys(
+    dim: ray.data.Dataset, key_col: str, name_col: str, keys: List[int]
+) -> dict:
+    """key -> name for a BOUNDED key list (top-k winners): distributed
+    scan with a vectorized ``is_in`` filter — only the k matching rows
+    return to the driver, the dimension is never pulled whole."""
+    kset = pa.array(keys or [-1], type=pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(batch[key_col], pa.int64()), value_set=kset)
+        t = batch.filter(m)
+        return pa.table(
+            {key_col: pc.cast(t[key_col], pa.int64()), name_col: t[name_col]}
+        )
+
+    hits = (
+        dim.select_columns([key_col, name_col])
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return dict(zip(hits[key_col].astype(int), hits[name_col]))
+
+
+def returned_item_revenue(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    customer: ray.data.Dataset,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> ray.data.Dataset:
+    """TPC-H Q10 shape: top-k customers by revenue from RETURNED line
+    items ('R') on orders of one quarter.
+
+    Scale shape: orders are date-filtered and projected map-side;
+    lineitem is returnflag-filtered and reduced to (orderkey, cents)
+    partials BEFORE the one fact-fact ``bucket_hash_join``; the custkey
+    rollup moves one row per (batch x custkey-in-batch); the k winners
+    are decorated by scanning customer WITH a pushed-down key filter —
+    the dimension table is never broadcast whole, only k names return."""
+    lo, hi = _ts(date_from), _ts(date_to)
+
+    def ord_proj(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi),
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        part = pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "cents": _cents(t["l_extendedprice"], t["l_discount"]),
+            }
+        )
+        g = part.group_by(["l_orderkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    ordy = orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = bucket_hash_join(
+        li,
+        ordy,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["o_custkey", "cents"])
+            .group_by(["o_custkey"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["c_custkey", "cents"])
+
+    top = (
+        joined.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .sort(["cents", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    winners = top.to_pandas()  # k rows by construction
+    keys = [int(x) for x in winners["c_custkey"]]
+    nmap = _names_for_keys(customer, "c_custkey", "c_name", keys)
+    out = pa.table(
+        {
+            "c_custkey": pa.array(winners["c_custkey"].astype(np.int64)),
+            "c_name": pa.array([nmap.get(c, "") for c in keys], type=pa.string()),
+            "revenue": pa.array(
+                (winners["cents"].to_numpy().astype(np.int64) / 100.0).round(2)
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+def top_revenue_supplier(
+    lineitem: ray.data.Dataset,
+    supplier: ray.data.Dataset,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> ray.data.Dataset:
+    """TPC-H Q15 shape: the supplier(s) whose 3-month revenue equals the
+    GLOBAL maximum — an argmax against a distributed aggregate.
+
+    Scale shape: lineitem reduces to (suppkey, cents) partials map-side;
+    one suppkey groupby yields a #suppliers-row aggregate (fact/10,000 in
+    TPC-H — driver-small by construction); the global max is taken from
+    that aggregate and applied as a filter, then the winners (usually 1
+    row) are decorated from the supplier dimension with a key-pushdown
+    scan."""
+    lo, hi = _ts(date_from), _ts(date_to)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi),
+        )
+        t = batch.filter(m)
+        part = pa.table(
+            {
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "cents": _cents(t["l_extendedprice"], t["l_discount"]),
+            }
+        )
+        g = part.group_by(["l_suppkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["l_suppkey", "cents"])
+
+    rev = (
+        lineitem.select_columns(
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    agg = rev.to_pandas()  # #suppliers rows — the small aggregate
+    best = int(agg["cents"].max())
+    winners = agg[agg["cents"] == best].sort_values("l_suppkey")
+    keys = [int(x) for x in winners["l_suppkey"]]
+    nmap = _names_for_keys(supplier, "s_suppkey", "s_name", keys)
+    out = pa.table(
+        {
+            "s_suppkey": pa.array(np.asarray(keys, dtype=np.int64)),
+            "s_name": pa.array([nmap.get(s, "") for s in keys], type=pa.string()),
+            "total_revenue": pa.array([round(best / 100.0, 2)] * len(keys)),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+# (brand, min_size, max_size, min_qty, max_qty) — Q19's OR-of-ANDs clauses
+DISJ_CLAUSES: List[Tuple[str, int, int, float, float]] = [
+    ("Brand#12", 1, 15, 1.0, 21.0),
+    ("Brand#23", 1, 25, 10.0, 30.0),
+    ("Brand#4", 1, 50, 20.0, 40.0),
+]
+
+
+def disjunctive_revenue(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    *,
+    clauses: Sequence[Tuple[str, int, int, float, float]] = tuple(DISJ_CLAUSES),
+) -> ray.data.Dataset:
+    """TPC-H Q19 shape: revenue per disjunctive (brand, size-range,
+    quantity-range) clause — the predicate-join no scan filter can push.
+
+    Scale shape: the part attributes each clause needs (brand code int16,
+    size int16) are broadcast ONCE as dense positional arrays indexed by
+    partkey (4 bytes/part — 8 GB for 2·10^9 parts, object-store-resident
+    and shared by every task, vs a 100 TB fact shuffle for a hash join);
+    every batch evaluates all clauses vectorized and emits per-clause
+    partial sums, so the only exchange is #clauses rows per block.  A row
+    matching several clauses counts toward EACH (clause_id is part of the
+    group key; the classic Q19 single-revenue form is the sum over
+    clauses of this result when clauses are disjoint on brand)."""
+    pt = part.select_columns(["p_partkey", "p_brand", "p_size"]).to_pandas()
+    max_key = int(pt["p_partkey"].max())
+    brands = sorted({c[0] for c in clauses})
+    bcode = {b: i for i, b in enumerate(brands)}
+    brand_arr = np.full(max_key + 1, -1, dtype=np.int16)
+    keys = pt["p_partkey"].to_numpy().astype(np.int64)
+    brand_arr[keys] = pt["p_brand"].map(lambda b: bcode.get(b, -1)).to_numpy()
+    size_arr = np.zeros(max_key + 1, dtype=np.int16)
+    size_arr[keys] = pt["p_size"].to_numpy().astype(np.int16)
+    ref = ray.put((brand_arr, size_arr))
+    cl = [
+        (cid, bcode[b], smin, smax, qmin, qmax)
+        for cid, (b, smin, smax, qmin, qmax) in enumerate(clauses)
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ba, sa = ray.get(ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = np.clip(pk, 0, len(ba) - 1)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cents = (
+            _cents(batch["l_extendedprice"], batch["l_discount"])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = ba[pk]
+        s = sa[pk]
+        ids, sums, cnts = [], [], []
+        for cid, bc, smin, smax, qmin, qmax in cl:
+            m = (b == bc) & (s >= smin) & (s <= smax) & (qty >= qmin) & (qty <= qmax)
+            if m.any():
+                ids.append(cid)
+                sums.append(int(cents[m].sum()))
+                cnts.append(int(m.sum()))
+        return pa.table(
+            {
+                "clause_id": pa.array(ids, type=pa.int64()),
+                "cents": pa.array(sums, type=pa.int64()),
+                "n_items": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "clause_id": batch["clause_id"],
+                "revenue": pc.round(
+                    pc.divide(pc.cast(batch["sum(cents)"], pa.float64()), 100.0),
+                    ndigits=2,
+                ),
+                "n_items": batch["sum(n_items)"],
+            }
+        )
+
+    return (
+        lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("clause_id")
+        .aggregate(Sum("cents"), Sum("n_items"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("clause_id")
+    )
+
+
+def dormant_rich_customers(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    *,
+    recent_from: str = "2001-01-01",
+) -> ray.data.Dataset:
+    """TPC-H Q22 shape: per-nation count + total balance of customers
+    whose account balance exceeds the GLOBAL average positive balance and
+    who placed NO orders since ``recent_from``.
+
+    Scale shape: the global average is an exact int64 cents sum/count
+    aggregate (one tiny all-to-one reduce), broadcast as a plain scalar;
+    the "no recent orders" side is date-filtered map-side and reduced to
+    DISTINCT custkeys per block before the native ``left_anti`` join
+    (hash-partitioned on the key, never driver-side); the final rollup is
+    a #nations-row groupby.  The threshold comparison happens in exact
+    cents so the boundary cannot float-drift against the SQL oracle."""
+    lo = _ts(recent_from)
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["c_acctbal"], 100.0), 0.5)), pa.int64()
+        )
+        t = pa.table({"cents": cents}).filter(pc.greater(cents, 0))
+        return pa.table(
+            {
+                "one": pa.array([1], type=pa.int64()),
+                "s": pa.array([pc.sum(t["cents"]).as_py() or 0], type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    bal = (
+        customer.select_columns(["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("one")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot, cnt = int(bal["s"].iloc[0]), int(bal["n"].iloc[0])
+
+    def cust_proj(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["c_acctbal"], 100.0), 0.5)), pa.int64()
+        )
+        # c_acctbal > avg  <=>  cents * cnt > tot * 1  (exact integers)
+        keep = pc.greater(
+            pc.multiply(cents, pa.scalar(cnt, type=pa.int64())),
+            pa.scalar(tot, type=pa.int64()),
+        )
+        t = batch.append_column("bal_cents", cents).filter(keep)
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "bal_cents": t["bal_cents"],
+            }
+        )
+
+    def recent_custs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["o_orderdate"], lo))
+        k = pc.unique(pc.cast(t["o_custkey"], pa.int64()))
+        return pa.table({"o_custkey": k})
+
+    rich = customer.select_columns(["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        cust_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    recent = orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+        recent_custs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dormant = rich.join(
+        recent,
+        join_type="left_anti",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["c_nationkey", "bal_cents"])
+            .group_by(["c_nationkey"])
+            .aggregate([("bal_cents", "sum"), ("bal_cents", "count")])
+        )
+        return g.rename_columns(["c_nationkey", "cents", "numcust"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": batch["c_nationkey"],
+                "numcust": batch["sum(numcust)"],
+                "totacctbal": pc.round(
+                    pc.divide(pc.cast(batch["sum(cents)"], pa.float64()), 100.0),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return (
+        dormant.map_batches(rollup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(Sum("cents"), Sum("numcust"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("c_nationkey")
+    )

@@ -760,6 +760,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_source_overlap(sf):
+        return dataprep.source_overlap(_read(sf, "documents", ["source", "text"]))
+
+    def q_length_band_filter(sf):
+        return dataprep.length_band_filter(
+            _read(sf, "documents", ["lang", "n_chars"])
+        )
+
     def q_centroid_outliers(sf):
         return similarity.centroid_outliers(
             _read(sf, "embeddings", ["vec_id", "embedding", "label"]),
@@ -1048,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dormant_rich_customers": q_dormant_rich_customers,
         "scrub_values": q_scrub_values,
         "centroid_outliers": q_centroid_outliers,
+        "source_overlap": q_source_overlap,
+        "length_band_filter": q_length_band_filter,
     }
 
 
@@ -2501,5 +2511,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(label AS BIGINT) AS label
             FROM scores WHERE score < -0.05 ORDER BY vec_id
+        """,
+        # cross-source shared-shingle contamination matrix (12-char
+        # shingles, char_ngrams normalization = whitespace collapse)
+        "source_overlap": """
+            WITH norm AS (
+                SELECT source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT source,
+                       CASE WHEN length(s) < 12 THEN s
+                            ELSE substring(s, i, 12) END AS shingle
+                FROM norm,
+                     LATERAL unnest(range(1, GREATEST(length(s) - 10, 2))) AS t(i)
+                WHERE length(s) > 0
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_shingles
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY source_a, source_b ORDER BY source_a, source_b
+        """,
+        # percentile-band length filter: per-lang docs/chars kept inside
+        # [p10, p90] of n_chars (percentile_disc bounds, integer compare)
+        "length_band_filter": """
+            WITH b AS (
+                SELECT lang,
+                       percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS lo,
+                       percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS hi
+                FROM documents GROUP BY lang
+            )
+            SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+            FROM documents d JOIN b ON d.lang = b.lang
+            WHERE d.n_chars BETWEEN b.lo AND b.hi
+            GROUP BY d.lang ORDER BY d.lang
         """,
     }

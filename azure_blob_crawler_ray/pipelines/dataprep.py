@@ -1707,6 +1707,154 @@ def scrub_values(
     )
 
 
+def source_overlap(
+    docs: ray.data.Dataset, *, ngram: int = 12, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Cross-source contamination matrix — for every unordered pair of
+    sources (a < b), the number of distinct ``ngram``-char shingles that
+    appear in BOTH sources.  The corpus-audit step behind source-mixing
+    decisions (a high shared-shingle count means two "independent"
+    sources are mirrors or heavy quoters of each other).
+
+    Shape (the ``type_cooccurrence`` bitmask algebra applied to text):
+    a metadata-sized distinct pre-pass pins the source -> bit order
+    (mask is one uint64 word, so <= 64 sources; wider catalogs take
+    ceil(k/64) mask columns — same algebra per word); per batch, each
+    doc's DISTINCT shingle set (shared ``char_ngrams`` normalization:
+    whitespace-collapse, whole-string when shorter than ``ngram``) is
+    hashed once and OR-folded to one (shingle, mask) row per shingle per
+    batch; ONE coarse shingle-hash-bucket shuffle ORs masks globally;
+    per-bucket pair counts are popcount algebra over k x k; the final
+    exchange is #pairs rows.  Shingle identity is its 64-bit hash —
+    collisions would merge two shingles' masks (probability ~n²/2^64;
+    negligible, and only ever OVERcounts by 1 per collision)."""
+    sources = sorted(docs.select_columns(["source"]).unique("source"))
+    if len(sources) > 64:
+        raise ValueError("source_overlap: one-word mask supports <= 64 sources")
+    order = {s: i for i, s in enumerate(sources)}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        sh_lists = [list(char_ngrams(t, ngram)) for t in texts]
+        sizes = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        all_sh = [s for lst in sh_lists for s in lst]
+        flat = hash64(all_sh) if all_sh else np.zeros(0, dtype=np.uint64)
+        masks = np.repeat(
+            np.array([np.uint64(1) << np.uint64(order[s]) for s in srcs], dtype=np.uint64),
+            sizes,
+        )
+        df = pd.DataFrame({"shingle": flat, "mask": masks})
+        g = df.groupby("shingle", sort=False)["mask"].agg(np.bitwise_or.reduce)
+        g = g.reset_index()
+        g["bucket"] = (
+            g["shingle"].to_numpy().astype(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    k = len(sources)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            df.groupby("shingle", sort=False)["mask"]
+            .agg(np.bitwise_or.reduce)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        rows = []
+        for a in range(k):
+            ha = (m >> np.uint64(a)) & np.uint64(1)
+            if not ha.any():
+                continue
+            for b in range(a + 1, k):
+                c = int((ha & (m >> np.uint64(b))).sum())
+                if c:
+                    rows.append((a, b, c))
+        return pd.DataFrame(
+            {
+                "a": pd.Series([r[0] for r in rows], dtype=np.int64),
+                "b": pd.Series([r[1] for r in rows], dtype=np.int64),
+                "n": pd.Series([r[2] for r in rows], dtype=np.int64),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source_a": pa.array([sources[i] for i in a], type=pa.string()),
+                "source_b": pa.array([sources[i] for i in b], type=pa.string()),
+                "shared_shingles": batch["sum(n)"],
+            }
+        )
+
+    return (
+        docs.select_columns(["source", "text"])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["source_a", "source_b"])
+    )
+
+
+def length_band_filter(
+    docs: ray.data.Dataset, *, q_lo: float = 0.1, q_hi: float = 0.9
+) -> ray.data.Dataset:
+    """Percentile-band length filter — keep documents whose char length
+    lies within [percentile_disc(q_lo), percentile_disc(q_hi)] of their
+    LANGUAGE, and report per-language kept docs + kept chars.  The
+    outlier-trimming curation step (drop truncated fragments and
+    concatenation accidents) expressed as statistics -> broadcast ->
+    map-side filter.
+
+    Shape: the per-lang bounds come from the exact distributed
+    order-statistics operator (``relational.group_quantiles`` — histogram
+    pass + residual-rank gather, no global sort); the bounds table is
+    #langs x 2 rows, broadcast via ``ray.put``; the filter + rollup pass
+    is map-only with a per-batch combine, so the second exchange is
+    #langs rows per block.  Bounds are integers compared with integer
+    n_chars — no float boundary."""
+    from .relational import group_quantiles
+
+    b = group_quantiles(
+        docs, value_col="n_chars", group_col="lang", qs=(q_lo, q_hi)
+    ).to_pandas()  # (#langs x 2) rows
+    bounds = {}
+    for lang, sub in b.groupby("lang"):
+        lo = int(sub[sub["q"] == q_lo]["value"].iloc[0])
+        hi = int(sub[sub["q"] == q_hi]["value"].iloc[0])
+        bounds[lang] = (lo, hi)
+    ref = ray.put(bounds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        langs = batch["lang"].to_pandas()
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = langs.map(lambda l: bd[l][0]).to_numpy().astype(np.int64)
+        hi = langs.map(lambda l: bd[l][1]).to_numpy().astype(np.int64)
+        keep = (n >= lo) & (n <= hi)
+        df = pd.DataFrame({"lang": langs[keep], "n_chars": n[keep]})
+        agg = df.groupby("lang", sort=False).agg(
+            kept_docs=("n_chars", "size"), kept_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    return (
+        docs.select_columns(["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("kept_docs", alias_name="kept_docs"),
+            Sum("kept_chars", alias_name="kept_chars"),
+        )
+        .sort("lang")
+    )
+
+
 def weighted_sample(
     docs: ray.data.Dataset,
     *,

@@ -15,7 +15,7 @@ conformance boundary."""
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import List
 
 import numpy as np
 import pandas as pd
@@ -80,35 +80,54 @@ def lineitem_agg(lineitem: ray.data.Dataset) -> ray.data.Dataset:
 def top_customers(
     orders: ray.data.Dataset, customer: ray.data.Dataset, *, k: int = 10
 ) -> ray.data.Dataset:
-    """Revenue top-k with a broadcast dimension join: aggregate orders by
-    custkey (shuffle on the key), then map the small result through a
-    broadcast custkey -> name dict. The join never shuffles customer."""
-    cust_small = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
-    lookup: Dict[int, str] = dict(
-        zip(cust_small["c_custkey"].astype(int), cust_small["c_name"])
-    )
-    ref = ray.put(lookup)
+    """Revenue top-k: aggregate orders by custkey (shuffle on the key),
+    take the k winners, then decorate ONLY those k rows with names via a
+    key-pushdown scan of the customer dimension — at 100 TB the customer
+    table is fact/10, so a whole-dimension name broadcast would be a
+    multi-GB driver object; only k names ever return here."""
 
-    def attach_name(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        keys = batch["o_custkey"].to_numpy()
-        names = [lk.get(int(c), "") for c in keys]
+    def project(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "c_custkey": batch["o_custkey"],
-                "c_name": pa.array(names, type=pa.string()),
                 "revenue": _round2(batch["sum(o_totalprice)"]),
                 "order_count": batch["count()"],
             }
         )
 
-    return (
+    top = (
         orders.groupby("o_custkey")
         .aggregate(Sum("o_totalprice"), Count())
-        .map_batches(attach_name, batch_format="pyarrow")
+        .map_batches(project, batch_format="pyarrow")
         .sort(["revenue", "c_custkey"], descending=[True, False])
         .limit(k)
+        .to_pandas()
+    )  # k rows by construction
+    keys = [int(x) for x in top["c_custkey"]]
+    kset = pa.array(keys or [-1], type=pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(batch["c_custkey"], pa.int64()), value_set=kset)
+        t = batch.filter(m)
+        return pa.table(
+            {"c_custkey": pc.cast(t["c_custkey"], pa.int64()), "c_name": t["c_name"]}
+        )
+
+    names = (
+        customer.select_columns(["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
     )
+    nmap = dict(zip(names["c_custkey"].astype(int), names["c_name"]))
+    out = pa.table(
+        {
+            "c_custkey": pa.array(top["c_custkey"].astype(np.int64)),
+            "c_name": pa.array([nmap.get(c, "") for c in keys], type=pa.string()),
+            "revenue": pa.array(top["revenue"].astype(np.float64)),
+            "order_count": pa.array(top["order_count"].astype(np.int64)),
+        }
+    )
+    return ray.data.from_arrow(out)
 
 
 def customers_per_region(

@@ -201,6 +201,14 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "brand_revenue",
         "order_line_histogram",
         "late_shipments",
+        "returned_item_revenue",
+        "top_revenue_supplier",
+        "disjunctive_revenue",
+        "dormant_rich_customers",
+        "scrub_values",
+        "centroid_outliers",
+        "source_overlap",
+        "length_band_filter",
     ]
     out = {}
     for name in names:

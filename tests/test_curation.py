@@ -153,3 +153,80 @@ def test_boilerplate_coverage_overlap_union():
     )
     out = dataprep.boilerplate_coverage(docs).to_pandas()
     assert out["covered_tokens"].tolist() == [6, 6, 6]
+
+
+def test_source_overlap_hand():
+    # srcA/srcB share the 12-char shingles of "shared run of text here";
+    # srcC is disjoint; within-source repeats must not create pairs
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["srcA", "srcB", "srcC", "srcA"]),
+                "text": pa.array(
+                    [
+                        "shared run of text here plus alpha tail",
+                        "shared run of text here plus beta tail",
+                        "completely different words in this one",
+                        "shared run of text here plus alpha tail",  # dup doc, same source
+                    ]
+                ),
+            }
+        )
+    )
+    out = dataprep.source_overlap(docs).to_pandas()
+    got = {
+        (a, b): n
+        for a, b, n in zip(out["source_a"], out["source_b"], out["shared_shingles"])
+    }
+    # duckdb twin on the same frame
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"source": ["srcA", "srcB", "srcC", "srcA"],
+         "text": ["shared run of text here plus alpha tail",
+                  "shared run of text here plus beta tail",
+                  "completely different words in this one",
+                  "shared run of text here plus alpha tail"]}))
+    want_rows = con.execute(
+        """
+        WITH norm AS (
+            SELECT source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT source,
+                   CASE WHEN length(s) < 12 THEN s
+                        ELSE substring(s, i, 12) END AS shingle
+            FROM norm,
+                 LATERAL unnest(range(1, GREATEST(length(s) - 10, 2))) AS t(i)
+            WHERE length(s) > 0
+        )
+        SELECT a.source, b.source, COUNT(*) FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    want = {(a, b): n for a, b, n in want_rows}
+    assert got == want
+    assert ("srcA", "srcB") in got and got[("srcA", "srcB")] > 0
+    assert all("srcC" not in k for k in got)
+
+
+def test_length_band_filter_matches_percentile_disc():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 400
+    langs = np.repeat(["aa", "bb"], n // 2)
+    chars = rng.integers(10, 5000, n)
+    docs = ray.data.from_arrow(
+        pa.table({"lang": pa.array(langs), "n_chars": pa.array(chars, type=pa.int64())})
+    )
+    out = dataprep.length_band_filter(docs).to_pandas()
+    df = pd.DataFrame({"lang": langs, "n_chars": chars})
+    for lang, sub in df.groupby("lang"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        lo = v[int(np.ceil(0.1 * len(v))) - 1]
+        hi = v[int(np.ceil(0.9 * len(v))) - 1]
+        kept = sub[(sub["n_chars"] >= lo) & (sub["n_chars"] <= hi)]
+        row = out[out["lang"] == lang]
+        assert int(row["kept_docs"].iloc[0]) == len(kept)
+        assert int(row["kept_chars"].iloc[0]) == kept["n_chars"].sum()

@@ -760,6 +760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_clicks_before_purchase(sf):
+        return relational.window_count_join(
+            _read(sf, "events", ["user_id", "event_id", "ts", "event_type"])
+        )
+
     def q_source_overlap(sf):
         return dataprep.source_overlap(_read(sf, "documents", ["source", "text"]))
 
@@ -1058,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_outliers": q_centroid_outliers,
         "source_overlap": q_source_overlap,
         "length_band_filter": q_length_band_filter,
+        "clicks_before_purchase": q_clicks_before_purchase,
     }
 
 
@@ -2545,5 +2551,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN b ON d.lang = b.lang
             WHERE d.n_chars BETWEEN b.lo AND b.hi
             GROUP BY d.lang ORDER BY d.lang
+        """,
+        # temporal interval-count join: clicks in the hour before each
+        # purchase, per user (exclusive lower bound, inclusive upper)
+        "clicks_before_purchase": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   CAST(COUNT(c.event_id) AS BIGINT) AS n_in_window
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id ORDER BY purchase_id
         """,
     }

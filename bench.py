@@ -209,6 +209,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "centroid_outliers",
         "source_overlap",
         "length_band_filter",
+        "clicks_before_purchase",
     ]
     out = {}
     for name in names:

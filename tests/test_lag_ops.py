@@ -115,3 +115,48 @@ def test_regex_match_stats():
             w["max_per_doc"],
         )
     assert set(got["lang"]) == set(want.index)
+
+
+def test_window_count_join_boundaries():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    H = 3_600_000_000  # 1h in us
+    base = 10_000_000_000_000
+    rows = [
+        # user 1: purchase at base; clicks at base-H (EXCLUDED, boundary),
+        # base-H+1 (in), base (in, inclusive upper), base+1 (after, out)
+        (1, 100, base, "purchase"),
+        (1, 1, base - H, "click"),
+        (1, 2, base - H + 1, "click"),
+        (1, 3, base, "click"),
+        (1, 4, base + 1, "click"),
+        # user 1: second purchase 2us later: window (base-H+2, base+2]
+        # catches clicks 3 and 4 but drops click 2 (now below the band)
+        (1, 101, base + 2, "purchase"),
+        # user 2: purchase with no clicks at all -> 0 (LEFT JOIN)
+        (2, 102, base, "purchase"),
+        # user 3: clicks but no purchase -> no output row
+        (3, 5, base, "click"),
+        # other event types are ignored
+        (2, 6, base, "view"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    np.array([r[2] for r in rows], dtype="datetime64[us]")
+                ),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+    out = relational.window_count_join(ds).to_pandas()
+    got = dict(zip(out["purchase_id"], out["n_in_window"]))
+    assert got == {100: 2, 101: 2, 102: 0}

@@ -779,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=-0.05,
         )
 
+    def q_mmr_topk(sf):
+        return similarity.mmr_topk(_read(sf, "embeddings", ["vec_id", "embedding"]))
+
     def q_mix_sources(sf):
         return dataprep.mix_sources(
             _read(sf, "documents", ["doc_id", "text", "source"])
@@ -1064,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "length_band_filter": q_length_band_filter,
         "clicks_before_purchase": q_clicks_before_purchase,
+        "mmr_topk": q_mmr_topk,
     }
 
 

@@ -110,6 +110,98 @@ def brute_force_topk(
     )
 
 
+def mmr_topk(
+    emb: ray.data.Dataset,
+    *,
+    num_queries: int = 8,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> ray.data.Dataset:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98) — the diverse-retrieval / diverse-sampling
+    variant of vector search a training-data pipeline uses to avoid
+    feeding near-identical examples: greedily pick the candidate
+    maximizing ``lam·relevance − (1−lam)·max-similarity-to-selected``.
+
+    Scale shape: the EXPENSIVE part (scanning the corpus) is the same
+    per-block partial top-``pool`` as ``brute_force_topk``, except each
+    surviving candidate carries its normalized vector; only
+    (pool × blocks × num_queries) vector rows return to the driver,
+    where the O(k·pool) greedy runs on the global top-``pool`` — the
+    iterative step is inherently sequential, so it runs where the data
+    is already tiny.  Ties break to the smallest vec_id, making the
+    selection deterministic across block layouts."""
+    qids, qm = load_queries(emb, num_queries)
+    q_ref = ray.put(qm.T)  # (dim, Q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch))
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        sims = m @ qt  # (n, Q)
+        kk = min(pool, len(ids))
+        out_q, out_v, out_s, out_e = [], [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            top = top[np.lexsort((ids[top], -s[top]))]
+            out_q.append(np.full(len(top), j, dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+            out_e.append(m[top])
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+                "vec": pa.array(list(np.concatenate(out_e, axis=0))),
+            }
+        )
+
+    parts = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        g = parts[parts["qi"] == j]
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["score"].to_numpy()))[:pool]
+        g = g.iloc[order]
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        rel = g["score"].to_numpy()
+        V = np.stack(g["vec"].to_numpy())  # (pool, dim), already normalized
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if picked:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = rel.copy()
+            mmr[~avail] = -np.inf
+            # argmax with smallest-vec_id tie-break: lexsort is overkill
+            # for one pick — mask to the max then take min id
+            best = mmr.max()
+            cand = np.flatnonzero(mmr == best)
+            i = cand[np.argmin(ids[cand])]
+            picked.append(i)
+            avail[i] = False
+            max_sim = np.maximum(max_sim, V @ V[i])
+        rows_q.extend([int(qid)] * len(picked))
+        rows_r.extend(range(1, len(picked) + 1))
+        rows_v.extend(ids[picked].tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "rank": pa.array(rows_r, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+            }
+        )
+    )
+
+
 def kmeans_centroids(
     emb: ray.data.Dataset,
     *,

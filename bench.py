@@ -210,6 +210,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "source_overlap",
         "length_band_filter",
         "clicks_before_purchase",
+        "mmr_topk",
     ]
     out = {}
     for name in names:

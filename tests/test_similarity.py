@@ -117,3 +117,75 @@ def test_quantized_topk_recall_and_invariance(emb_ds, emb_np):
         emb_ds.repartition(7), num_queries=5, k=10
     ).to_pandas()
     assert got.equals(again)
+
+
+def test_mmr_topk_matches_sequential_and_diversifies():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import similarity
+
+    # query vec_id=0 (= e1); ids 1..3 a tight cluster at rel 0.9 along
+    # e2; ids 4,5 at rel 0.85 along DIFFERENT axes e3/e4: pure top-k
+    # takes the whole cluster (0.9 > 0.85), MMR must break to the
+    # diverse candidates once one cluster member is in (its mutual
+    # sim 1.0 drags the cluster's marginal score below 0)
+    c2, c3 = np.sqrt(1 - 0.81), np.sqrt(1 - 0.7225)
+    vecs = [
+        np.array([1.0, 0.0, 0.0, 0.0, 0.0]),
+        np.array([0.9, c2, 0.0, 0.0, 0.0]),
+        np.array([0.9, c2, 0.0, 0.0, 0.0]),
+        np.array([0.9, c2, 0.0, 0.0, 0.0]),
+        np.array([0.85, 0.0, c3, 0.0, 0.0]),
+        np.array([0.85, 0.0, 0.0, c3, 0.0]),
+    ]
+    V = np.stack(vecs).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(6), type=pa.int64()),
+                  "embedding": pa.array(list(V))})
+    ).repartition(3)
+    out = similarity.mmr_topk(ds, num_queries=1, k=4, pool=6, lam=0.5).to_pandas()
+    picked = out.sort_values("rank")["vec_id"].tolist()
+
+    # pure top-4 by relevance would be {0, 1, 2, 3} — the cluster
+    assert set(np.argsort(-(V / np.linalg.norm(V, axis=1, keepdims=True))
+                          .astype(np.float64) @ (V[0] / np.linalg.norm(V[0])))[:4]) == {0, 1, 2, 3}
+
+    # sequential twin over all candidates
+    Vn = V.astype(np.float64)
+    Vn = Vn / np.linalg.norm(Vn, axis=1, keepdims=True)
+    q = Vn[0]
+    rel = Vn @ q
+    ids = np.arange(6)
+    avail = np.ones(6, bool)
+    max_sim = np.full(6, -np.inf)
+    want = []
+    for step in range(4):
+        mmr = rel.copy() if not want else 0.5 * rel - 0.5 * max_sim
+        mmr[~avail] = -np.inf
+        cand = np.flatnonzero(mmr == mmr.max())
+        i = cand[np.argmin(ids[cand])]
+        want.append(int(i))
+        avail[i] = False
+        max_sim = np.maximum(max_sim, Vn @ Vn[i])
+    assert picked == want
+    # diversity: the two orthogonal vectors appear in the MMR top-4
+    assert {4, 5} <= set(picked)
+
+
+def test_mmr_topk_layout_invariant():
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import similarity
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    a = similarity.mmr_topk(
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ).to_pandas()
+    b = similarity.mmr_topk(
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"]).repartition(13)
+    ).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 8 * 10

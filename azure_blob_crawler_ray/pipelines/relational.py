@@ -2571,8 +2571,16 @@ def large_volume_customers(
     first (one Arrow group_by per block). The customer hop is
     ``bucket_hash_join`` (see its docstring: the survivor key set is
     SPARSE by construction, which is exactly the shape that breaks
-    ray.data's native join with empty hash partitions). Quantities are
-    integral, summed as int64 (exact at any add order)."""
+    ray.data's native join with empty hash partitions) — with the
+    customer scan Bloom-pruned map-side first (survivor custkeys folded
+    to broadcast BITS, never keys; FPs only pass extra rows into the
+    exact join), so the second exchange ships ~survivors, not the whole
+    dimension.  The HAVING survivors are materialized once (they are
+    aggregate-sized) so the Bloom pass does not re-run the first
+    exchange.  At sf0.1 the wall time is unchanged (~11 s — per-exchange
+    fixed overhead dominates at this size); the prune pays at real scale
+    where the customer exchange is data-bound, not overhead-bound.
+    Quantities are integral, summed as int64 (exact at any add order)."""
     MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def li_partial(batch: pa.Table) -> pa.Table:
@@ -2658,6 +2666,7 @@ def large_volume_customers(
         )
         .groupby("__bucket")
         .map_groups(agg_filter_join, batch_format="pyarrow")
+        .materialize()  # HAVING survivors: aggregate-sized by construction
     )
     wo_schema = pa.schema(
         [
@@ -2668,9 +2677,21 @@ def large_volume_customers(
             ("o_totalprice", pa.float64()),
         ]
     )
+    from ..functions.bloom import bloom_of_dataset
+
+    cbloom = bloom_of_dataset(with_orders.select_columns(["o_custkey"]), "o_custkey")
+    cbloom_ref = ray.put(cbloom)
+
+    def cust_prune(batch: pa.Table) -> pa.Table:
+        bf = ray.get(cbloom_ref)
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.filter(pa.array(bf.contains_many(keys)))
+
     joined = bucket_hash_join(
         with_orders,
-        customer.select_columns(["c_custkey", "c_name"]),
+        customer.select_columns(["c_custkey", "c_name"]).map_batches(
+            cust_prune, batch_format="pyarrow", zero_copy_batch=True
+        ),
         left_on="o_custkey",
         right_on="c_custkey",
         left_schema=wo_schema,
@@ -3218,91 +3239,100 @@ def late_shipment_orders(
     """TPC-H Q4-shaped correlated EXISTS: orders per priority that have
     at least one line item shipped AFTER the order date.
 
-    Scale shape: the EXISTS collapses to a pre-aggregated semi-join —
-    per order, only max(l_shipdate) decides the predicate, so line
-    items reduce map-side (one Arrow group_by per block) to one row per
-    (order × block), one orderkey groupby takes the max, one sparse-safe
-    ``bucket_hash_join`` pairs it with the order row, and the predicate
-    + priority rollup are map-side. The fact table never shuffles raw
-    rows; the final exchange is #priorities-sized."""
+    Scale shape — ONE exchange total: EXISTS(ship > date) is
+    max(ship) > date, and a global max exceeds the date iff ANY
+    per-block partial max does, so the per-orderkey global Max shuffle
+    the first version paid is unnecessary.  Line items reduce map-side
+    to one (orderkey, block-max) row per order per block; order rows and
+    those partials are tagged into ONE orderkey-bucket shuffle; inside
+    each bucket a vectorized sort + segment-max pass decides EXISTS per
+    order and rolls up per priority, so the final exchange is
+    #priorities-sized.  (Measured 11.6 s -> ~4 s at sf0.1 vs the
+    groupby-Max + bucket_hash_join formulation.)"""
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _kb(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * MIX) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
 
     def li_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
-                "l_orderkey": batch["l_orderkey"],
+                "k": pc.cast(batch["l_orderkey"], pa.int64()),
                 "ship_us": pc.cast(
                     pc.cast(batch["l_shipdate"], pa.timestamp("us")), pa.int64()
                 ),
             }
         )
-        agg = t.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        agg = t.group_by(["k"]).aggregate([("ship_us", "max")])
+        ids = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
         return pa.table(
-            {"l_orderkey": agg["l_orderkey"], "ship_us": agg["ship_us_max"]}
+            {
+                "k": ids,
+                "ts_us": agg["ship_us_max"],
+                "o_orderpriority": pa.nulls(n, type=pa.string()),
+                "side": np.ones(n, dtype=np.int8),
+                "bucket": _kb(ids),
+            }
         )
-
-    max_ship = (
-        lineitem.select_columns(["l_orderkey", "l_shipdate"])
-        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Max("ship_us", alias_name="max_ship_us"))
-    )
 
     def ord_proj(batch: pa.Table) -> pa.Table:
+        ids = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
         return pa.table(
             {
-                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
-                "o_orderpriority": batch["o_orderpriority"],
-                "order_us": pc.cast(
+                "k": ids,
+                "ts_us": pc.cast(
                     pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
                 ),
+                "o_orderpriority": batch["o_orderpriority"],
+                "side": np.zeros(n, dtype=np.int8),
+                "bucket": _kb(ids),
             }
         )
 
-    joined = bucket_hash_join(
-        orders.select_columns(
-            ["o_orderkey", "o_orderpriority", "o_orderdate"]
-        ).map_batches(ord_proj, batch_format="pyarrow", zero_copy_batch=True),
-        max_ship,
-        left_on="o_orderkey",
-        right_on="l_orderkey",
-        left_schema=pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_orderpriority", pa.string()),
-                ("order_us", pa.int64()),
-            ]
-        ),
-        right_schema=pa.schema(
-            [("l_orderkey", pa.int64()), ("max_ship_us", pa.int64())]
-        ),
-        num_buckets=num_buckets,
-    )
-
-    def late_partial(batch: pa.Table) -> pa.Table:
-        late = pc.greater(batch["max_ship_us"], batch["order_us"])
-        t = pa.table(
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
             {
-                "o_orderpriority": batch["o_orderpriority"].combine_chunks()
-                if isinstance(batch["o_orderpriority"], pa.ChunkedArray)
-                else batch["o_orderpriority"],
-                "n": pc.cast(late, pa.int64()),
+                "o_orderpriority": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype=np.int64),
             }
         )
-        agg = t.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
-        return pa.table(
-            {"o_orderpriority": agg["o_orderpriority"], "n_orders": agg["n_sum"]}
+        side = df["side"].to_numpy()
+        orders_df = df[side == 0]
+        li = df[side == 1]
+        if len(orders_df) == 0 or len(li) == 0:
+            return empty
+        mx = li.groupby("k", sort=False)["ts_us"].max()
+        ship = orders_df["k"].map(mx).to_numpy()
+        late = ship > orders_df["ts_us"].to_numpy()  # NaN -> False (no lines)
+        kept = orders_df[late]
+        if len(kept) == 0:
+            return empty
+        agg = kept.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": agg.index.to_numpy(),
+                "n_orders": agg.to_numpy().astype(np.int64),
+            }
         )
 
+    tagged = (
+        orders.select_columns(["o_orderkey", "o_orderpriority", "o_orderdate"])
+        .map_batches(ord_proj, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+                li_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
     return (
-        joined.map_batches(late_partial, batch_format="pyarrow")
+        tagged.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby("o_orderpriority")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
-        # EXISTS semantics: a priority whose orders are all on time has
-        # no row at all (the SQL twin's WHERE filters before GROUP BY)
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["n_orders"], 0)),
-            batch_format="pyarrow",
-        )
         .sort("o_orderpriority")
     )
 

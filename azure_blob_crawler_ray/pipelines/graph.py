@@ -431,6 +431,11 @@ def triangles(
     corpus."""
     from .dataprep import _pack_pairs, _pairs_within_runs
 
+    # both passes consume `pairs`; without pinning, the whole upstream
+    # lineage (e.g. a near-dup pair pipeline) would execute TWICE inside
+    # the union plan — the edge list is edge-sized, so pin it once
+    pairs = pairs.materialize()
+
     def wedges(df):
         df = df.sort_values(["doc_a", "doc_b"], kind="mergesort")
         a = df["doc_a"].to_numpy(np.int64)

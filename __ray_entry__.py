@@ -760,6 +760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_pareto_front(sf):
+        return relational.pareto_front(
+            _read(sf, "part", ["p_partkey", "p_retailprice", "p_size"])
+        )
+
     def q_clicks_before_purchase(sf):
         return relational.window_count_join(
             _read(sf, "events", ["user_id", "event_id", "ts", "event_type"])
@@ -1068,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band_filter": q_length_band_filter,
         "clicks_before_purchase": q_clicks_before_purchase,
         "mmr_topk": q_mmr_topk,
+        "pareto_front": q_pareto_front,
     }
 
 
@@ -2566,5 +2572,18 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id, p.user_id ORDER BY purchase_id
+        """,
+        # skyline: parts not dominated under (min retailprice, max size);
+        # both-axis ties survive (no strict domination)
+        "pareto_front": """
+            SELECT a.p_partkey, a.p_retailprice AS price,
+                   CAST(a.p_size AS BIGINT) AS p_size
+            FROM part a WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size))
+            ORDER BY a.p_partkey
         """,
     }

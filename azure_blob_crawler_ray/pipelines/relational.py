@@ -2132,6 +2132,99 @@ def unpivot_daily(
     return wide.map_batches(melt, batch_format="pyarrow").sort(["day", "event_type"])
 
 
+def pareto_front(
+    part: ray.data.Dataset,
+    *,
+    price_col: str = "p_retailprice",
+    size_col: str = "p_size",
+) -> ray.data.Dataset:
+    """Skyline / Pareto-front operator: rows not dominated under
+    (minimize price, maximize size) — b dominates a iff b.price <=
+    a.price, b.size >= a.size, and strictly better in at least one.
+    Ties on BOTH axes survive together (no strict domination).  SQL's
+    formulation is a correlated NOT EXISTS self-join (quadratic); the
+    distributed form exploits that the global front is a subset of the
+    union of per-block fronts:
+
+      map    per-block vectorized front (sort by price asc / size desc;
+             dominated iff the strictly-cheaper prefix's running max
+             size >= own size, or a same-price row has strictly more
+             size) — each block reduces to its own front;
+      reduce the union of partial fronts (front-sized, not data-sized)
+             through the SAME kernel once — front-of-fronts equals the
+             global front.
+
+    The final pass is a single task over the unioned partial fronts;
+    its input is bounded by sum of block-front sizes (worst case the
+    whole data is mutually non-dominated — the standard skyline caveat,
+    at which point the 'front' IS the answer and no operator can shrink
+    it)."""
+
+    def local_front(batch: pa.Table) -> pa.Table:
+        price = batch[price_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        size = batch[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _front_mask(price, size)
+        return pa.table(
+            {
+                "p_partkey": ids[keep],
+                "price": price[keep],
+                "p_size": size[keep],
+            }
+        )
+
+    def global_front(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["price"].to_numpy(np.float64)
+        size = df["p_size"].to_numpy(np.int64)
+        keep = _front_mask(price, size)
+        out = df[keep]
+        return pd.DataFrame(
+            {
+                "p_partkey": out["p_partkey"].to_numpy(np.int64),
+                "price": out["price"].to_numpy(np.float64),
+                "p_size": out["p_size"].to_numpy(np.int64),
+            }
+        )
+
+    fronts = part.select_columns(["p_partkey", price_col, size_col]).map_batches(
+        local_front, batch_format="pyarrow", zero_copy_batch=True
+    )
+    one = fronts.map_batches(
+        lambda b: b.append_column("k", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    return (
+        one.groupby("k")
+        .map_groups(global_front, batch_format="pandas")
+        .sort("p_partkey")
+    )
+
+
+def _front_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Vectorized Pareto mask under (min price, max size): sort by
+    (price asc), take per-distinct-price max sizes, prefix-cummax of the
+    STRICTLY cheaper prices, then a row is dominated iff that prefix max
+    >= its size, or its own price group holds a strictly larger size."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((size, price))
+    p = price[order]
+    s = size[order]
+    newgrp = np.r_[True, p[1:] != p[:-1]]
+    gid = np.cumsum(newgrp) - 1
+    ngroups = gid[-1] + 1
+    gmax = np.full(ngroups, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(gmax, gid, s)
+    run = np.maximum.accumulate(gmax)
+    prefix = np.full(ngroups, np.iinfo(np.int64).min, dtype=np.int64)
+    prefix[1:] = run[:-1]  # max size among strictly cheaper groups
+    dominated_sorted = (prefix[gid] >= s) | (gmax[gid] > s)
+    keep = np.empty(n, dtype=bool)
+    keep[order] = ~dominated_sorted
+    return keep
+
+
 def window_count_join(
     events: ray.data.Dataset,
     *,

@@ -211,6 +211,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "length_band_filter",
         "clicks_before_purchase",
         "mmr_topk",
+        "pareto_front",
     ]
     out = {}
     for name in names:

@@ -148,3 +148,23 @@ def test_centroid_outliers_flags_below_threshold_rows():
     want = set(emb["vec_id"].to_numpy()[own < -0.05].tolist())
     assert set(out["vec_id"].tolist()) == want
     assert len(out) > 0
+
+
+def test_pareto_front_ties_and_layout():
+    from azure_blob_crawler_ray.pipelines import relational
+
+    # (price, size): A(1.0, 5) and B(1.0, 5) tie on both axes -> both
+    # survive; C(1.0, 4) dominated by A; D(0.5, 1) survives (cheapest);
+    # E(2.0, 9) survives (biggest); F(2.0, 8) dominated by E
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "p_retailprice": pa.array([1.0, 1.0, 1.0, 0.5, 2.0, 2.0]),
+            "p_size": pa.array([5, 5, 4, 1, 9, 8], type=pa.int32()),
+        }
+    )
+    for parts in (1, 4):
+        out = relational.pareto_front(
+            ray.data.from_arrow(tbl).repartition(parts)
+        ).to_pandas()
+        assert out["p_partkey"].tolist() == [1, 2, 4, 5]

@@ -760,6 +760,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_length_quantiles_cont(sf):
+        return relational.group_quantiles_cont(
+            _read(sf, "documents", ["lang", "n_chars"]),
+            value_col="n_chars",
+            group_col="lang",
+        )
+
     def q_pareto_front(sf):
         return relational.pareto_front(
             _read(sf, "part", ["p_partkey", "p_retailprice", "p_size"])
@@ -1074,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_before_purchase": q_clicks_before_purchase,
         "mmr_topk": q_mmr_topk,
         "pareto_front": q_pareto_front,
+        "length_quantiles_cont": q_length_quantiles_cont,
     }
 
 
@@ -2585,5 +2593,19 @@ def oracle_sql() -> dict[str, str]:
                   AND (b.p_retailprice < a.p_retailprice
                        OR b.p_size > a.p_size))
             ORDER BY a.p_partkey
+        """,
+        # interpolated per-lang length percentiles (percentile_cont twin)
+        "length_quantiles_cont": """
+            SELECT lang, q, value FROM (
+                SELECT lang, 0.25 AS q,
+                       quantile_cont(n_chars, 0.25) AS value
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.5, quantile_cont(n_chars, 0.5)
+                FROM documents GROUP BY lang
+                UNION ALL
+                SELECT lang, 0.75, quantile_cont(n_chars, 0.75)
+                FROM documents GROUP BY lang
+            ) ORDER BY lang, q
         """,
     }

@@ -869,6 +869,135 @@ def group_quantiles(
     )
 
 
+def group_quantiles_cont(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    num_value_buckets: int = 64,
+) -> ray.data.Dataset:
+    """INTERPOLATED per-group percentile_cont — the continuous twin of
+    ``group_quantiles``: value = v[r0] + frac·(v[r1]−v[r0]) where
+    h = (n−1)·q, r0 = floor(h), r1 = min(r0+1, n−1), frac = h−r0
+    (0-based order statistics; the formula is pinned to DuckDB's
+    ``quantile_cont`` so doubles hash-match).
+
+    Same two-pass order-statistics scheme as the exact operator —
+    histogram over uniform value splits, driver prefix-sum of the
+    (groups × buckets) matrix, residual-rank gather of hit buckets —
+    except each q registers BOTH bracketing ranks (which may land in
+    different buckets); the gathered rows carry (q, which, frac) and a
+    final groups×qs-sized reduce blends them."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    rng = ds.aggregate(_Min(value_col), _Max(value_col))
+    lo, hi = float(rng[f"min({value_col})"]), float(rng[f"max({value_col})"])
+    splits = np.linspace(lo, hi, num_value_buckets + 1)[1:-1]
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        vb = np.searchsorted(splits, v, side="right").astype(np.int32)
+        t = pa.table({"g": batch[group_col], "vb": pa.array(vb)})
+        g = t.group_by(["g", "vb"]).aggregate([("vb", "count")])
+        return g.rename_columns(["g", "vb", "n"])
+
+    hist_rows = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "vb"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    by_group: dict = {}
+    for r in hist_rows:
+        by_group.setdefault(r["g"], []).append((int(r["vb"]), int(r["n"])))
+    # (g, vb) -> list of (q, residual 0-based rank, frac-weight role)
+    targets: dict = {}
+    for g, buckets in by_group.items():
+        buckets.sort()
+        n = sum(cnt for _, cnt in buckets)
+        wanted = []  # (rank, q, which, frac)
+        for q in qs:
+            h = (n - 1) * q
+            r0 = int(np.floor(h))
+            r1 = min(r0 + 1, n - 1)
+            frac = h - r0
+            wanted.append((r0, q, 0, frac))
+            if r1 != r0:
+                wanted.append((r1, q, 1, frac))
+        wanted.sort()
+        it = iter(wanted)
+        want = next(it, None)
+        cum = 0
+        for vb, cnt in buckets:
+            while want is not None and want[0] < cum + cnt:
+                targets.setdefault((g, vb), []).append(
+                    (want[1], want[0] - cum, want[2], want[3])
+                )
+                want = next(it, None)
+            cum += cnt
+    ref = ray.put(targets)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        tg = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        vb = np.searchsorted(splits, v, side="right").astype(np.int32)
+        keep = np.zeros(len(v), dtype=bool)
+        for g, b in tg:
+            gm = pc.equal(batch[group_col], g).to_numpy(zero_copy_only=False)
+            keep |= gm & (vb == b)
+        return pa.table(
+            {
+                "g": batch[group_col].filter(pa.array(keep)),
+                "vb": pa.array(vb[keep]),
+                "v": pa.array(v[keep]),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        tg = ray.get(ref)
+        g = df["g"].iloc[0]
+        vb = int(df["vb"].iloc[0])
+        vals = np.sort(df["v"].to_numpy())
+        rows = [(q, which, frac, vals[r]) for q, r, which, frac in tg[(g, vb)]]
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(rows),
+                "q": [q for q, _, _, _ in rows],
+                "frac": [f for _, _, f, _ in rows],
+                "v": [v for _, _, _, v in rows],
+            }
+        )
+
+    def blend(batch: pa.Table) -> pa.Table:
+        # v0 = min, v1 = max of the (<=2) bracketing order stats;
+        # pinned formula v0 + frac*(v1-v0)
+        v0 = batch[f"min(v)"].to_numpy(zero_copy_only=False)
+        v1 = batch[f"max(v)"].to_numpy(zero_copy_only=False)
+        frac = batch[f"max(frac)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "q": batch["q"],
+                "value": pa.array(v0 + frac * (v1 - v0), type=pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max as _Max2, Min as _Min2
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "vb"])
+        .map_groups(pick, batch_format="pandas")
+        .groupby([group_col, "q"])
+        .aggregate(_Min2("v"), _Max2("v"), _Max2("frac"))
+        .map_batches(blend, batch_format="pyarrow")
+        .sort([group_col, "q"])
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

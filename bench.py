@@ -212,6 +212,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "clicks_before_purchase",
         "mmr_topk",
         "pareto_front",
+        "length_quantiles_cont",
     ]
     out = {}
     for name in names:

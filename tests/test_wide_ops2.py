@@ -270,3 +270,28 @@ def test_normalize_text_canonical(docs_ds, docs_pd):
     for d, t in zip(docs_pd["doc_id"], docs_pd["text"]):
         want = re.sub(r"\s+", " ", re.sub(r"[.!?,;:]", "", t.lower())).strip()
         assert lut[d] == want
+
+
+def test_group_quantiles_cont_matches_numpy_linear():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    rng = np.random.default_rng(9)
+    langs = np.repeat(["aa", "bb", "cc"], 123)
+    vals = rng.integers(0, 10_000, len(langs))
+    ds = ray.data.from_arrow(
+        pa.table({"lang": pa.array(langs), "n_chars": pa.array(vals, type=pa.int64())})
+    ).repartition(7)
+    out = relational.group_quantiles_cont(
+        ds, value_col="n_chars", group_col="lang", qs=(0.25, 0.5, 0.75)
+    ).to_pandas()
+    df = pd.DataFrame({"lang": langs, "v": vals})
+    for (lang, q), row in out.set_index(["lang", "q"]).iterrows():
+        want = np.percentile(
+            df[df["lang"] == lang]["v"].to_numpy(), q * 100, method="linear"
+        )
+        assert abs(row["value"] - want) < 1e-9, (lang, q, row["value"], want)

@@ -91,3 +91,5 @@ class CrawlConfig:
     content_epoch: int = 0          # synthetic-web version; changed pages differ per epoch
     change_every: int = 0           # 1/N of content uids change each epoch (0 = static web)
     link_noise_every: int = 0       # 1/N links carry ?utm=/#fragment noise (0 = clean links)
+    sitemap_every: int = 0          # every Nth host advertises a sitemap (0 = off)
+    sitemap_urls_per_host: int = 8  # URLs each advertised sitemap contributes

@@ -10,9 +10,10 @@ not by a side-channel rule dict.
 
 Subset supported (the parts a politeness gate needs): ``User-agent``
 groups (``*`` only — we crawl as the generic agent), ``Disallow`` path
-prefixes, ``Crawl-delay`` in (possibly fractional) seconds. Unknown
-directives and comments are ignored, per the robots exclusion protocol
-(RFC 9309)."""
+prefixes, ``Crawl-delay`` in (possibly fractional) seconds, and
+``Sitemap`` URLs (collected independent of any group, per the sitemaps
+protocol). Unknown directives and comments are ignored, per the robots
+exclusion protocol (RFC 9309)."""
 
 from __future__ import annotations
 
@@ -22,10 +23,12 @@ DEFAULT_CRAWL_DELAY_MS = 1000
 
 
 def parse_robots_txt(text: str) -> dict:
-    """-> {"crawl_delay_ms": int, "disallow": [path prefixes]} for the
-    ``*`` user-agent group."""
+    """-> {"crawl_delay_ms": int, "disallow": [path prefixes],
+    "sitemaps": [urls]} — delay/disallow for the ``*`` user-agent
+    group; Sitemap lines apply file-wide."""
     delay_ms = DEFAULT_CRAWL_DELAY_MS
     disallow: List[str] = []
+    sitemaps: List[str] = []
     applies = False  # inside a group that includes User-agent: *
     seen_any_group = False
     for raw in text.splitlines():
@@ -49,7 +52,9 @@ def parse_robots_txt(text: str) -> dict:
                 delay_ms = int(round(float(value) * 1000))
             except ValueError:
                 pass
-    return {"crawl_delay_ms": delay_ms, "disallow": disallow}
+        elif key == "sitemap" and value:
+            sitemaps.append(value)
+    return {"crawl_delay_ms": delay_ms, "disallow": disallow, "sitemaps": sitemaps}
 
 
 def render_robots_txt(rules: dict) -> str:
@@ -59,6 +64,8 @@ def render_robots_txt(rules: dict) -> str:
         lines.append(f"Disallow: {p}")
     delay_ms = rules.get("crawl_delay_ms", DEFAULT_CRAWL_DELAY_MS)
     lines.append(f"Crawl-delay: {delay_ms / 1000:.3f}")
+    for s in rules.get("sitemaps", []):
+        lines.append(f"Sitemap: {s}")
     return "\n".join(lines) + "\n"
 
 

@@ -119,7 +119,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                     fresh_set.discard(int(arr[i]))
         return keeper
 
-    seeds = synth.seed_uids(cfg)
+    seeds = synth.all_seed_uids(cfg, robots)
     frontier = _frontier_from_uids(seeds, cfg, depth=0, wave=0)
     seen_add(frontier["url"])  # seeds are discovered
 

@@ -392,8 +392,9 @@ def _rebuild_frontier_cols(wave: int, inlink_cap: int = 100):
     return fn
 
 
-def _seed_frontier(cfg: CrawlConfig) -> ray.data.Dataset:
-    uids = synth.seed_uids(cfg)
+def _seed_frontier(cfg: CrawlConfig, robots: Dict[str, dict]) -> ray.data.Dataset:
+    # seeds ∪ sitemap-advertised URLs (gated by the PARSED robots text)
+    uids = synth.all_seed_uids(cfg, robots)
     urls, hosts, _ = synth.urls_for(uids, cfg)
     uh = hash64([canonical_url(u) for u in urls])
     t = pa.table(
@@ -467,7 +468,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         frontier = read_table(os.path.join(wdir, "frontier"))
         start_wave = last_ok + 1
     else:
-        frontier = _seed_frontier(cfg)
+        frontier = _seed_frontier(cfg, robots)
         # seeds enter the seen set before wave 0 (same as the oracle)
         uh = frontier.select_columns(["url_hash"]).to_pandas()["url_hash"].to_numpy().astype(np.uint64)
         sh = (uh % np.uint64(cfg.num_seen_shards)).astype(np.int64)

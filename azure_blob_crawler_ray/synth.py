@@ -142,9 +142,10 @@ def robots_txt(cfg: CrawlConfig) -> Dict[str, str]:
         if i % 5 == 0:  # every 5th host disallows two path buckets
             b1, b2 = int(h % _U64(97)), int((h >> _U64(8)) % _U64(97))
             prefixes = [f"/p/{b1}/", f"/p/{b2}/"]
-        out[host_name(i)] = render_robots_txt(
-            {"crawl_delay_ms": delay, "disallow": prefixes}
-        )
+        rules = {"crawl_delay_ms": delay, "disallow": prefixes}
+        if cfg.sitemap_every and i % cfg.sitemap_every == 0:
+            rules["sitemaps"] = [f"https://{host_name(i)}/sitemap.xml"]
+        out[host_name(i)] = render_robots_txt(rules)
     return out
 
 
@@ -329,3 +330,36 @@ def seed_uids(cfg: CrawlConfig) -> np.ndarray:
     cand = (derive(i, 21, cfg.seed) % _U64(cfg.universe)).astype(np.int64)
     _, first = np.unique(cand, return_index=True)
     return cand[np.sort(first)][:n]
+
+
+def sitemap_seed_uids(cfg: CrawlConfig, robots: Dict[str, dict]) -> np.ndarray:
+    """URLs advertised via ``Sitemap:`` lines of the PARSED robots — the
+    directive gates contribution (a host whose robots text carries no
+    Sitemap line contributes nothing, whatever cfg says), so the engine
+    and the oracle share the semantics through the parser exactly like
+    the Disallow/Crawl-delay gates.  Each advertising host contributes
+    ``sitemap_urls_per_host`` deterministic uids (tag-22 derive stream,
+    offset by host index); order-preserving dedupe across hosts."""
+    enabled = [
+        i for i in range(cfg.n_hosts) if robots.get(host_name(i), {}).get("sitemaps")
+    ]
+    if not enabled:
+        return np.zeros(0, dtype=np.int64)
+    k = cfg.sitemap_urls_per_host
+    idx = np.concatenate(
+        [np.arange(i * k, (i + 1) * k, dtype=np.int64) for i in enabled]
+    )
+    cand = (derive(idx, 22, cfg.seed) % _U64(cfg.universe)).astype(np.int64)
+    _, first = np.unique(cand, return_index=True)
+    return cand[np.sort(first)]
+
+
+def all_seed_uids(cfg: CrawlConfig, robots: Dict[str, dict]) -> np.ndarray:
+    """seed list ∪ sitemap-advertised uids, order-preserving dedupe —
+    the wave-0 frontier BOTH the engine and the oracle start from."""
+    seeds = seed_uids(cfg)
+    if not cfg.sitemap_every:
+        return seeds
+    cand = np.concatenate([seeds, sitemap_seed_uids(cfg, robots)])
+    _, first = np.unique(cand, return_index=True)
+    return cand[np.sort(first)]

@@ -41,9 +41,9 @@ def test_empty_disallow_means_allow_all():
 
 def test_render_parse_roundtrip():
     for rules in (
-        {"crawl_delay_ms": 50, "disallow": []},
-        {"crawl_delay_ms": 999, "disallow": ["/p/1/", "/p/42/"]},
-        {"crawl_delay_ms": 1000, "disallow": ["/a"]},
+        {"crawl_delay_ms": 50, "disallow": [], "sitemaps": []},
+        {"crawl_delay_ms": 999, "disallow": ["/p/1/", "/p/42/"], "sitemaps": []},
+        {"crawl_delay_ms": 1000, "disallow": ["/a"], "sitemaps": []},
     ):
         assert parse_robots_txt(render_robots_txt(rules)) == rules
 

@@ -760,6 +760,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_incremental_agg(sf):
+        # base view materialized once (the stored aggregate), then a
+        # deterministic 1/7 delta folded in WITHOUT rescanning the base;
+        # result must equal the from-scratch Q1 aggregate
+        li = _read(
+            sf,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        )
+        import numpy as np
+        import pyarrow as pa
+
+        def _part(want_delta: bool):
+            def fn(batch: pa.Table) -> pa.Table:
+                k = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = (k % 7) == 0
+                return batch.filter(pa.array(m if want_delta else ~m))
+
+            return fn
+
+        base = li.map_batches(_part(False), batch_format="pyarrow", zero_copy_batch=True)
+        delta = li.map_batches(_part(True), batch_format="pyarrow", zero_copy_batch=True)
+        view = relational.lineitem_agg_view(base).materialize()
+        return relational.lineitem_agg_refresh(view, delta)
+
     def q_length_quantiles_cont(sf):
         return relational.group_quantiles_cont(
             _read(sf, "documents", ["lang", "n_chars"]),
@@ -1082,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_topk": q_mmr_topk,
         "pareto_front": q_pareto_front,
         "length_quantiles_cont": q_length_quantiles_cont,
+        "incremental_agg": q_incremental_agg,
     }
 
 
@@ -2607,5 +2634,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, 0.75, quantile_cont(n_chars, 0.75)
                 FROM documents GROUP BY lang
             ) ORDER BY lang, q
+        """,
+        # incremental view maintenance: base view + delta merge must
+        # equal the from-scratch Q1 aggregate over ALL rows
+        "incremental_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
     }

@@ -93,3 +93,4 @@ class CrawlConfig:
     link_noise_every: int = 0       # 1/N links carry ?utm=/#fragment noise (0 = clean links)
     sitemap_every: int = 0          # every Nth host advertises a sitemap (0 = off)
     sitemap_urls_per_host: int = 8  # URLs each advertised sitemap contributes
+    nofollow_every: int = 0         # 1/N link targets marked rel=nofollow (0 = off)

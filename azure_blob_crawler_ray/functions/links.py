@@ -11,15 +11,21 @@ from __future__ import annotations
 import re
 from typing import List
 
-_LINK_RE = re.compile(r"https://\S+")
+_LINK_RE = re.compile(r"(NOFOLLOW:\s*)?(https://\S+)")
 
 
 def extract_links(full_content: str) -> List[str]:
-    """All https URLs in extracted text, first-occurrence order, deduped."""
+    """All https URLs in extracted text, first-occurrence order, deduped.
+    URLs immediately preceded by a ``NOFOLLOW:`` marker (the synthetic
+    web's rendering of rel=nofollow) are excluded from discovery — the
+    crawler honors nofollow; only an UNMARKED occurrence makes a URL
+    followable."""
     seen = set()
     out: List[str] = []
-    for m in _LINK_RE.findall(full_content):
-        if m not in seen:
-            seen.add(m)
-            out.append(m)
+    for marked, url in _LINK_RE.findall(full_content):
+        if marked:
+            continue
+        if url not in seen:
+            seen.add(url)
+            out.append(url)
     return out

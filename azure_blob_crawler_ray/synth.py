@@ -217,7 +217,23 @@ def payload_for(uid: int, cfg: CrawlConfig) -> Tuple[bytes, str]:
             else:
                 decorated.append(f"{u}?utm=s{int(t) % 7}#sec{int(t) % 5}")
         link_urls = decorated
-    link_lines = [f"LINK: {u}" for u in link_urls]
+    # nofollow: 1/nofollow_every TARGETS are advertised with a NOFOLLOW
+    # marker (rel=nofollow semantics) — keyed by target uid so every
+    # page referencing that target marks it identically, and the link
+    # extractor (functions/links.py) drops marked URLs from discovery
+    nofollow = (
+        (derive(targets, 71, cfg.seed) % _U64(cfg.nofollow_every)) == 0
+        if cfg.nofollow_every > 0 and len(targets)
+        else np.zeros(len(targets), dtype=bool)
+    )
+    link_lines = [
+        (f"NOFOLLOW: {u}" if m else f"LINK: {u}")
+        for u, m in zip(link_urls, nofollow)
+    ]
+    if cfg.nofollow_every > 0:
+        link_urls = [
+            (f"NOFOLLOW: {u}" if m else u) for u, m in zip(link_urls, nofollow)
+        ]  # json payloads embed the marker inside the list value
 
     def sentences(n_words: int) -> str:
         words = _VOCAB[rng.integers(0, len(_VOCAB), n_words)]

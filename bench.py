@@ -213,6 +213,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "mmr_topk",
         "pareto_front",
         "length_quantiles_cont",
+        "incremental_agg",
     ]
     out = {}
     for name in names:

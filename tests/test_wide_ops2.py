@@ -295,3 +295,46 @@ def test_group_quantiles_cont_matches_numpy_linear():
             df[df["lang"] == lang]["v"].to_numpy(), q * 100, method="linear"
         )
         assert abs(row["value"] - want) < 1e-9, (lang, q, row["value"], want)
+
+
+def test_incremental_agg_refresh_sequence_equals_full():
+    """A view maintained through TWO successive deltas equals the
+    from-scratch aggregate over all rows."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    full = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    k = full["l_orderkey"].to_numpy()
+    import numpy as np
+    import pyarrow as pa
+
+    parts = [full.filter(pa.array(k % 3 == r)) for r in range(3)]
+    view = relational.lineitem_agg_view(ray.data.from_arrow(parts[0])).materialize()
+    # fold delta 1, store, fold delta 2: refresh output -> strip rounding
+    # back into view form? The maintained view must be the UNROUNDED form,
+    # so re-derive it by merging view with delta's partial directly.
+    view2 = (
+        view.union(relational.lineitem_agg_view(ray.data.from_arrow(parts[1])))
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            ray.data.aggregate.Sum("sum(qty)", alias_name="sum(qty)"),
+            ray.data.aggregate.Sum("sum(price)", alias_name="sum(price)"),
+            ray.data.aggregate.Sum("sum(disc_price)", alias_name="sum(disc_price)"),
+            ray.data.aggregate.Sum("sum(cnt)", alias_name="sum(cnt)"),
+        )
+        .materialize()
+    )
+    got = relational.lineitem_agg_refresh(
+        view2, ray.data.from_arrow(parts[2])
+    ).to_pandas()
+    want = relational.lineitem_agg(ray.data.from_arrow(full)).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)

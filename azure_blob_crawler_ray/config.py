@@ -9,7 +9,7 @@ lacks but the target architecture requires.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # ---- chunking / tokens (ref settings.py:32-36) ----
 CHUNK_MAX_TOKENS = 4000

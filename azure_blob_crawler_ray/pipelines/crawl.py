@@ -48,7 +48,7 @@ from ..hashing import hash64
 from ..state.admission import canonical_order
 from ..state.politeness import PolitenessShard
 from ..state.seen import SeenShard
-from ..storage import is_complete, read_table, read_table_arrow, write_arrow, write_json, write_table
+from ..storage import read_table, read_table_arrow, write_arrow, write_json, write_table
 from .ingest import chunk_stage, embed_stage, index_stage, parse_stage
 
 @dataclass

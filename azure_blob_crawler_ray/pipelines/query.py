@@ -28,7 +28,7 @@ import ray.data
 
 from ..config import SEARCH_ALL_DOCS_MAX, SEARCH_DEFAULT_TOP, SEARCH_MAX_TOP
 from ..functions.textstats import occurrences
-from .similarity import _emb_matrix, _normalize, load_queries
+from .similarity import _emb_matrix, _normalize
 
 
 def clamp_top(top: int) -> int:

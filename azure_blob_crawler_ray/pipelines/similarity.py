@@ -21,8 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count
-
 from .dataprep import _pack_pairs, _pairs_within_runs
 
 

@@ -760,6 +760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_regr_price_qty(sf):
+        return relational.regr_price_qty(
+            _read(sf, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+        )
+
     def q_incremental_agg(sf):
         # base view materialized once (the stored aggregate), then a
         # deterministic 1/7 delta folded in WITHOUT rescanning the base;
@@ -1109,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_front": q_pareto_front,
         "length_quantiles_cont": q_length_quantiles_cont,
         "incremental_agg": q_incremental_agg,
+        "regr_price_qty": q_regr_price_qty,
     }
 
 
@@ -2646,5 +2652,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        # grouped OLS fit from exact integer moments; float ops mirror
+        # the engine's pinned order term for term
+        "regr_price_qty": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                AS BIGINT)) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)
+                                * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)
+                                * CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) AS sxy,
+                       COUNT(*) AS n_rows
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n_rows,
+                   ROUND(CASE WHEN n * sxx - sx * sx > 0
+                              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                              ELSE 0 END, 6) AS slope_cents,
+                   ROUND((sy - (CASE WHEN n * sxx - sx * sx > 0
+                                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                                     ELSE 0 END) * sx) / n, 6) AS intercept_cents
+            FROM m ORDER BY l_returnflag
         """,
     }

@@ -1787,6 +1787,77 @@ def mode_event_type(
     )
 
 
+def regr_price_qty(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped OLS regression (slope + intercept of price-cents on
+    quantity per returnflag) from EXACT integer moment sums — the
+    distributed model-fitting shape: each batch contributes one int64
+    moment row per flag (map-side combine), the exchange moves
+    flags × batches rows, and the closed-form fit runs once per flag.
+
+    Bit-reproducibility: the five sums are exact int64 (qty ≤ 50 ×
+    cents ≤ ~1e7 per row keeps sxy far from overflow through sf100);
+    the finish casts each aggregate to float64 FIRST and then applies
+    scalar IEEE ops in a pinned order (n·sxy − sx·sy, etc.), which the
+    SQL oracle mirrors term for term, so both engines produce the same
+    doubles before the 6-decimal round."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"].to_pandas()
+        x = batch["l_quantity"].to_numpy().astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": flags,
+                "n": np.ones(len(x), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", sort=False).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = df["n"].to_numpy().astype(np.float64)
+        sx = df["sx"].to_numpy().astype(np.float64)
+        sy = df["sy"].to_numpy().astype(np.float64)
+        sxx = df["sxx"].to_numpy().astype(np.float64)
+        sxy = df["sxy"].to_numpy().astype(np.float64)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        slope = np.where(vx > 0, cov / vx, 0.0)
+        intercept = (sy - slope * sx) / n
+        return pa.table(
+            {
+                "l_returnflag": pa.array(df["l_returnflag"]),
+                "n_rows": pa.array(df["n"].to_numpy(np.int64)),
+                "slope_cents": pa.array(np.round(slope, 6)),
+                "intercept_cents": pa.array(np.round(intercept, 6)),
+            }
+        )
+
+    return (
+        lineitem.select_columns(["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("l_returnflag")
+    )
+
+
 def corr_qty_discount(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     """Per-returnflag Pearson correlation of quantity vs discount from
     EXACT integer moment sums — the grouped-statistics shape

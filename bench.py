@@ -214,6 +214,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "pareto_front",
         "length_quantiles_cont",
         "incremental_agg",
+        "regr_price_qty",
     ]
     out = {}
     for name in names:

@@ -760,6 +760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_robust_length_outliers(sf):
+        return dataprep.robust_length_outliers(
+            _read(sf, "documents", ["lang", "n_chars"])
+        )
+
     def q_regr_price_qty(sf):
         return relational.regr_price_qty(
             _read(sf, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
@@ -1115,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles_cont": q_length_quantiles_cont,
         "incremental_agg": q_incremental_agg,
         "regr_price_qty": q_regr_price_qty,
+        "robust_length_outliers": q_robust_length_outliers,
     }
 
 
@@ -2678,5 +2684,27 @@ def oracle_sql() -> dict[str, str]:
                                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
                                      ELSE 0 END) * sx) / n, 6) AS intercept_cents
             FROM m ORDER BY l_returnflag
+        """,
+        # robust per-lang outliers: |x - median| > 3 * MAD, exact integer
+        # order statistics (percentile_disc) for median and MAD
+        "robust_length_outliers": """
+            WITH med AS (
+                SELECT lang,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
+                FROM documents GROUP BY lang
+            ), dev AS (
+                SELECT d.lang, ABS(d.n_chars - med.m) AS ad, d.n_chars,
+                       med.m
+                FROM documents d JOIN med ON d.lang = med.lang
+            ), mad AS (
+                SELECT lang,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+                FROM dev GROUP BY lang
+            )
+            SELECT dev.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN 2 * dev.ad > 6 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad ON dev.lang = mad.lang
+            GROUP BY dev.lang ORDER BY dev.lang
         """,
     }

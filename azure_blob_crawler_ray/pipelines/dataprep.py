@@ -1855,6 +1855,76 @@ def length_band_filter(
     )
 
 
+def robust_length_outliers(
+    docs: ray.data.Dataset, *, k: float = 3.0
+) -> ray.data.Dataset:
+    """Robust outlier detection per language: median / MAD (median
+    absolute deviation) instead of mean / stddev — the curation filter
+    that survives the heavy-tailed length distributions real corpora
+    have (a handful of giant concatenation accidents corrupt a z-score,
+    not a MAD).  Flags docs with |n_chars − median| > k·MAD and reports
+    per-language totals.
+
+    Composition of exact distributed order statistics — NO global sort:
+    pass 1 computes each language's median with the histogram +
+    residual-rank machinery (``relational.group_quantiles``); the
+    #langs-row result broadcasts via ``ray.put``; pass 2 computes the
+    median of |x − med| the same way over the derived column; pass 3 is
+    a map-only integer-compare rollup.  Medians and MADs are SELECTED
+    integers, so the threshold compare is exact (k·MAD stays integral
+    for integral k·2 via doubling: the test uses 2|x−med| > 2k·MAD in
+    int64)."""
+    from .relational import group_quantiles
+
+    med = group_quantiles(
+        docs, value_col="n_chars", group_col="lang", qs=(0.5,)
+    ).to_pandas()
+    med_map = dict(zip(med["lang"], med["value"].astype(np.int64)))
+    med_ref = ray.put(med_map)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        langs = batch["lang"].to_pandas()
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = langs.map(mm).to_numpy().astype(np.int64)
+        return pa.table({"lang": batch["lang"], "n_chars": np.abs(n - m)})
+
+    dev = docs.select_columns(["lang", "n_chars"]).map_batches(
+        absdev, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mad = group_quantiles(
+        dev, value_col="n_chars", group_col="lang", qs=(0.5,)
+    ).to_pandas()
+    mad_map = dict(zip(mad["lang"], mad["value"].astype(np.int64)))
+    mad_ref = ray.put(mad_map)
+    k2 = int(round(2 * k))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        dd = ray.get(mad_ref)
+        langs = batch["lang"].to_pandas()
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = langs.map(mm).to_numpy().astype(np.int64)
+        d = langs.map(dd).to_numpy().astype(np.int64)
+        out = 2 * np.abs(n - m) > k2 * d  # exact int compare
+        df = pd.DataFrame({"lang": langs, "out": out.astype(np.int64)})
+        agg = df.groupby("lang", sort=False).agg(
+            n_docs=("out", "size"), n_outliers=("out", "sum")
+        )
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    return (
+        docs.select_columns(["lang", "n_chars"])
+        .map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_outliers", alias_name="n_outliers"),
+        )
+        .sort("lang")
+    )
+
+
 def weighted_sample(
     docs: ray.data.Dataset,
     *,

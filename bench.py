@@ -215,6 +215,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "length_quantiles_cont",
         "incremental_agg",
         "regr_price_qty",
+        "robust_length_outliers",
     ]
     out = {}
     for name in names:

@@ -760,6 +760,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_curate_crawl(sf):
+        from azure_blob_crawler_ray.config import CrawlConfig
+        from azure_blob_crawler_ray.pipelines.curate import curate_crawl
+
+        out = "/tmp/abc_entry_curate"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(
+            universe=800,
+            n_hosts=12,
+            max_waves=2,
+            wave_budget=200,
+            max_fetches_per_host_per_wave=32,
+            seeds_per_host=2,
+            out_dir=out,
+            emit_index=False,
+            inject_faults=False,
+        )
+        return curate_crawl(cfg, capacity=400).sort("doc_id")
+
     def q_robust_length_outliers(sf):
         return dataprep.robust_length_outliers(
             _read(sf, "documents", ["lang", "n_chars"])
@@ -1121,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg": q_incremental_agg,
         "regr_price_qty": q_regr_price_qty,
         "robust_length_outliers": q_robust_length_outliers,
+        "curate_crawl": q_curate_crawl,
     }
 
 

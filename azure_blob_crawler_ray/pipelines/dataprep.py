@@ -889,6 +889,16 @@ def pack_sequences(
     summaries = ordered.map_batches(
         block_summary, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
+    if len(summaries) == 0:  # empty corpus: schema-typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "tokens": pa.array([], type=pa.int64()),
+                    "bin": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     summaries = summaries.sort_values("min_doc")
     sub = summaries["subtotal"].to_numpy().astype(np.int64)
     offsets = dict(

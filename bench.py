@@ -216,6 +216,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "incremental_agg",
         "regr_price_qty",
         "robust_length_outliers",
+        "curate_crawl",
     ]
     out = {}
     for name in names:

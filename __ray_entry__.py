@@ -760,6 +760,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_weighted_median_price(sf):
+        import numpy as np
+        import pyarrow as pa
+
+        def proj(batch: pa.Table) -> pa.Table:
+            cents = np.floor(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "cents": cents,
+                    "qty": qty,
+                }
+            )
+
+        li = _read(
+            sf, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+        ).map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        return relational.group_weighted_median(
+            li, value_col="cents", weight_col="qty", group_col="l_returnflag"
+        ).map_batches(
+            lambda b: b.rename_columns(["l_returnflag", "weighted_median_cents"]),
+            batch_format="pyarrow",
+        )
+
+    def q_daily_ohlc(sf):
+        return relational.daily_ohlc(
+            _read(sf, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+        )
+
     def q_curate_crawl(sf):
         from azure_blob_crawler_ray.config import CrawlConfig
         from azure_blob_crawler_ray.pipelines.curate import curate_crawl
@@ -1141,6 +1173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_price_qty": q_regr_price_qty,
         "robust_length_outliers": q_robust_length_outliers,
         "curate_crawl": q_curate_crawl,
+        "daily_ohlc": q_daily_ohlc,
+        "weighted_median_price": q_weighted_median_price,
     }
 
 
@@ -2726,5 +2760,48 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM dev JOIN mad ON dev.lang = mad.lang
             GROUP BY dev.lang ORDER BY dev.lang
+        """,
+        # per-day OHLC: open/close = first/last order by (ts, orderkey)
+        "daily_ohlc": """
+            WITH c AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       o_orderdate AS ts, o_orderkey AS k,
+                       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM orders
+            ), r AS (
+                SELECT day, cents,
+                       ROW_NUMBER() OVER (PARTITION BY day
+                                          ORDER BY ts, k) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY day
+                                          ORDER BY ts DESC, k DESC) AS rn_d
+                FROM c
+            )
+            SELECT day,
+                   MAX(CASE WHEN rn_a = 1 THEN cents END) / 100.0 AS open,
+                   MAX(cents) / 100.0 AS high,
+                   MIN(cents) / 100.0 AS low,
+                   MAX(CASE WHEN rn_d = 1 THEN cents END) / 100.0 AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM r GROUP BY day ORDER BY day
+        """,
+        # lower weighted median: smallest price-cents whose cumulative
+        # quantity reaches half the group total (integer-exact)
+        "weighted_median_price": """
+            WITH c AS (
+                SELECT l_returnflag AS g,
+                       CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+            ), s AS (
+                SELECT g, v, SUM(w) AS wsum FROM c GROUP BY g, v
+            ), cum AS (
+                SELECT g, v,
+                       SUM(wsum) OVER (PARTITION BY g ORDER BY v) AS cw,
+                       SUM(wsum) OVER (PARTITION BY g) AS tot
+                FROM s
+            )
+            SELECT g AS l_returnflag,
+                   CAST(MIN(v) AS BIGINT) AS weighted_median_cents
+            FROM cum WHERE 2 * cw >= tot GROUP BY g ORDER BY l_returnflag
         """,
     }

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _round2(col: pa.Array) -> pa.Array:
@@ -1068,6 +1068,99 @@ def group_quantiles_cont(
     )
 
 
+def group_weighted_median(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    num_value_buckets: int = 64,
+) -> ray.data.Dataset:
+    """LOWER weighted median per group — the smallest value v such that
+    the cumulative INTEGER weight of values <= v reaches half the
+    group's total (2·cumw >= total).  The robust-center statistic when
+    rows carry multiplicities (median price weighted by quantity,
+    median length weighted by tokens).
+
+    Same no-global-sort order-statistics scheme as ``group_quantiles``,
+    but ranks live in WEIGHT space: pass 1 histograms per-(group,
+    value-bucket) WEIGHT sums (map-side combine); the driver prefix-sums
+    the (groups x buckets) matrix and finds each group's hit bucket plus
+    the residual weight needed inside it; pass 2 gathers only hit-bucket
+    rows and selects the answer with a per-bucket value-sorted cumsum.
+    Values and weights are exact integers end to end, so the selected
+    median hash-matches any engine."""
+    rng = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(rng[f"min({value_col})"]), float(rng[f"max({value_col})"])
+    splits = np.linspace(lo, hi, num_value_buckets + 1)[1:-1]
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = np.searchsorted(splits, v, side="right").astype(np.int32)
+        t = pa.table({"g": batch[group_col], "vb": pa.array(vb), "w": pa.array(w)})
+        agg = t.group_by(["g", "vb"]).aggregate([("w", "sum")])
+        return agg.rename_columns(["g", "vb", "w"])
+
+    hist_rows = (
+        ds.select_columns([group_col, value_col, weight_col])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "vb"])
+        .aggregate(Sum("w", alias_name="w"))
+        .take_all()
+    )
+    by_group: dict = {}
+    for r in hist_rows:
+        by_group.setdefault(r["g"], []).append((int(r["vb"]), int(r["w"])))
+    targets: dict = {}  # (g, vb) -> residual weight needed inside the bucket
+    for g, buckets in by_group.items():
+        buckets.sort()
+        tot = sum(w for _, w in buckets)
+        cum = 0
+        for vb, w in buckets:
+            if 2 * (cum + w) >= tot:
+                targets[(g, vb)] = (tot - 2 * cum + 1) // 2  # smallest cw with 2(cum+cw)>=tot
+                break
+            cum += w
+    ref = ray.put(targets)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        tg = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = np.searchsorted(splits, v, side="right").astype(np.int32)
+        keep = np.zeros(len(v), dtype=bool)
+        for g, b in tg:
+            gm = pc.equal(batch[group_col], g).to_numpy(zero_copy_only=False)
+            keep |= gm & (vb == b)
+        return pa.table(
+            {
+                "g": batch[group_col].filter(pa.array(keep)),
+                "vb": pa.array(vb[keep]),
+                "v": pa.array(v[keep]),
+                "w": pa.array(w[keep]),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        tg = ray.get(ref)
+        g = df["g"].iloc[0]
+        need = tg[(g, int(df["vb"].iloc[0]))]
+        agg = df.groupby("v", sort=True)["w"].sum()
+        cw = agg.cumsum().to_numpy()
+        vals = agg.index.to_numpy()
+        i = int(np.searchsorted(cw, need, side="left"))
+        return pd.DataFrame({group_col: [g], "weighted_median": [vals[i]]})
+
+    return (
+        ds.select_columns([group_col, value_col, weight_col])
+        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "vb"])
+        .map_groups(pick, batch_format="pandas")
+        .sort(group_col)
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -1784,6 +1877,77 @@ def mode_event_type(
         .groupby("bucket")
         .map_groups(finish, batch_format="pandas")
         .sort("user_id")
+    )
+
+
+def daily_ohlc(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-day OPEN/HIGH/LOW/CLOSE of order prices — the time-bucketed
+    first/last/min/max rollup (ordered-aggregate semantics: open/close
+    are the prices of the day's first/last order by (orderdate ts,
+    orderkey), a DETERMINISTIC total order).
+
+    Scale shape: first/last are argmin/argmax over a packed (ts-rank,
+    orderkey) key, so each batch reduces to ONE row per (day × block)
+    carrying candidate open/close keys and min/max cents — all four
+    aggregates combine associatively and the exchange is day-keyed and
+    tiny.  Prices ride as exact int64 cents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ts = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {"day": day.to_pandas(), "ts": ts, "okey": okey, "cents": cents}
+        )
+        # deterministic total order inside the day: (ts, orderkey)
+        df = df.sort_values(["day", "ts", "okey"], kind="mergesort")
+        g = df.groupby("day", sort=False)
+        out = pd.DataFrame(
+            {
+                "day": g.size().index,
+                "open_ts": g["ts"].first().to_numpy(np.int64),
+                "open_key": g["okey"].first().to_numpy(np.int64),
+                "open_cents": g["cents"].first().to_numpy(np.int64),
+                "close_ts": g["ts"].last().to_numpy(np.int64),
+                "close_key": g["okey"].last().to_numpy(np.int64),
+                "close_cents": g["cents"].last().to_numpy(np.int64),
+                "high": g["cents"].max().to_numpy(np.int64),
+                "low": g["cents"].min().to_numpy(np.int64),
+                "n": g.size().to_numpy().astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["day", "open_ts", "open_key"], kind="mergesort"
+        )  # earliest candidate first
+        g = df.groupby("day", sort=False)
+        first = g.first()
+        last_sorted = df.sort_values(["day", "close_ts", "close_key"], kind="mergesort")
+        last = last_sorted.groupby("day", sort=False).last()
+        out = pd.DataFrame(
+            {
+                "day": first.index,
+                "open": first["open_cents"].to_numpy(np.int64) / 100.0,
+                "high": g["high"].max().to_numpy(np.int64) / 100.0,
+                "low": g["low"].min().to_numpy(np.int64) / 100.0,
+                "close": last["close_cents"].to_numpy(np.int64) / 100.0,
+                "n_orders": g["n"].sum().to_numpy().astype(np.int64),
+            }
+        )
+        return out
+
+    return (
+        orders.select_columns(["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(combine, batch_format="pandas")
+        .sort("day")
     )
 
 

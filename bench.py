@@ -217,6 +217,8 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "regr_price_qty",
         "robust_length_outliers",
         "curate_crawl",
+        "daily_ohlc",
+        "weighted_median_price",
     ]
     out = {}
     for name in names:

@@ -338,3 +338,48 @@ def test_incremental_agg_refresh_sequence_equals_full():
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+def test_group_weighted_median_hand_and_layout():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    # lower weighted median: values [1,2,3] weights [1,1,2] -> tot=4,
+    # cum at v=2 is 2 and 2*2>=4 -> median 2 (not 3)
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a"]),
+            "v": pa.array([1, 2, 3], type=pa.int64()),
+            "w": pa.array([1, 1, 2], type=pa.int64()),
+        }
+    )
+    out = relational.group_weighted_median(
+        ray.data.from_arrow(t), value_col="v", weight_col="w", group_col="g"
+    ).to_pandas()
+    assert out["weighted_median"].tolist() == [2]
+
+    # random data, layout invariance + sequential twin
+    rng = np.random.default_rng(5)
+    g = rng.choice(["x", "y", "z"], 500)
+    v = rng.integers(0, 1000, 500)
+    w = rng.integers(1, 9, 500)
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v, type=pa.int64()),
+                    "w": pa.array(w, type=pa.int64())})
+    import pandas as pd
+
+    want = {}
+    df = pd.DataFrame({"g": g, "v": v, "w": w})
+    for grp, sub in df.groupby("g"):
+        s = sub.groupby("v")["w"].sum().sort_index()
+        cw = s.cumsum()
+        tot = int(s.sum())
+        want[grp] = int(s.index[(2 * cw >= tot).values.argmax()])
+    for parts in (1, 7):
+        got = relational.group_weighted_median(
+            ray.data.from_arrow(tbl).repartition(parts),
+            value_col="v", weight_col="w", group_col="g",
+        ).to_pandas()
+        assert dict(zip(got["g"], got["weighted_median"])) == want

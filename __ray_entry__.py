@@ -760,6 +760,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
+    def q_nation_share(sf):
+        return relational.nation_share_in_region(
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "orders", ["o_custkey", "o_totalprice"]),
+            _read(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            _read(sf, "region", ["r_regionkey", "r_name"]),
+        )
+
+    def q_length_gini(sf):
+        return relational.group_gini(
+            _read(sf, "documents", ["lang", "n_chars"]),
+            value_col="n_chars",
+            group_col="lang",
+        )
+
     def q_weighted_median_price(sf):
         import numpy as np
         import pyarrow as pa
@@ -1175,6 +1190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_crawl": q_curate_crawl,
         "daily_ohlc": q_daily_ohlc,
         "weighted_median_price": q_weighted_median_price,
+        "nation_share": q_nation_share,
+        "length_gini": q_length_gini,
     }
 
 
@@ -2803,5 +2820,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS l_returnflag,
                    CAST(MIN(v) AS BIGINT) AS weighted_median_cents
             FROM cum WHERE 2 * cw >= tot GROUP BY g ORDER BY l_returnflag
+        """,
+        # hierarchical percent-of-parent: nation revenue share within region
+        "nation_share": """
+            WITH per_nation AS (
+                SELECT n.n_regionkey AS rkey, n.n_name,
+                       SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                           AS BIGINT)) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY rkey, n.n_name
+            ), with_reg AS (
+                SELECT r.r_name, pn.n_name, pn.cents,
+                       SUM(pn.cents) OVER (PARTITION BY pn.rkey) AS rtot
+                FROM per_nation pn
+                JOIN region r ON pn.rkey = r.r_regionkey
+            )
+            SELECT r_name, n_name,
+                   ROUND(cents / 100.0, 2) AS revenue,
+                   ROUND(CAST(cents AS DOUBLE) / CAST(rtot AS DOUBLE), 6)
+                       AS share_in_region
+            FROM with_reg ORDER BY r_name, n_name
+        """,
+        # per-lang Gini over doc lengths (pinned rank-sum formula)
+        "length_gini": """
+            WITH ranked AS (
+                SELECT lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) AS i
+                FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND((2.0 * SUM(i * n_chars))
+                         / (CAST(COUNT(*) AS DOUBLE)
+                            * CAST(SUM(n_chars) AS DOUBLE))
+                         - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE),
+                         6) AS gini
+            FROM ranked GROUP BY lang ORDER BY lang
         """,
     }

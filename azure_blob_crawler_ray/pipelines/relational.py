@@ -1880,6 +1880,160 @@ def mode_event_type(
     )
 
 
+def nation_share_in_region(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    nation: ray.data.Dataset,
+    region: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Hierarchical percent-of-parent: each nation's share of its
+    REGION's order revenue (the nested ratio_to_report shape — share
+    within the parent level, not of the grand total).
+
+    Scale shape: orders reduce map-side to (custkey, cents) partials;
+    ONE ``bucket_hash_join`` pairs them with the customer projection
+    (custkey -> nationkey); nation/region are 25/5-row dimension
+    broadcasts; the final exchange is a #nations-row groupby, and the
+    region totals that normalize the shares are computed FROM that tiny
+    aggregate on the driver."""
+    nat = nation.select_columns(["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    nkey_to_region = dict(
+        zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int))
+    )
+    nkey_to_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rkey_to_name = dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        t = pa.table({"o_custkey": pc.cast(batch["o_custkey"], pa.int64()), "cents": cents})
+        g = t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    def cust_proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+            }
+        )
+
+    joined = bucket_hash_join(
+        orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+            ord_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+            cust_proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+        num_buckets=num_buckets,
+    )
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["c_nationkey", "cents"])
+            .group_by(["c_nationkey"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["c_nationkey", "cents"])
+
+    per_nation = (
+        joined.map_batches(nat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()  # #nations rows — aggregate-sized by construction
+    )
+    per_nation["rkey"] = per_nation["c_nationkey"].astype(int).map(nkey_to_region)
+    region_tot = per_nation.groupby("rkey")["cents"].sum()
+    out = pd.DataFrame(
+        {
+            "r_name": per_nation["rkey"].map(rkey_to_name),
+            "n_name": per_nation["c_nationkey"].astype(int).map(nkey_to_name),
+            "revenue": (per_nation["cents"].astype(np.int64) / 100.0).round(2),
+            "share_in_region": np.round(
+                per_nation["cents"].to_numpy(np.float64)
+                / per_nation["rkey"].map(region_tot).to_numpy(np.float64),
+                6,
+            ),
+        }
+    ).sort_values(["r_name", "n_name"])
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def group_gini(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group Gini coefficient over an integer value column — the
+    inequality profile of a corpus dimension (how concentrated document
+    length / host traffic / source volume is).  Formula over the
+    ascending-sorted values x_1..x_n (ties in any order — the formula is
+    tie-invariant):
+
+        G = (2 * Σ i·x_i) / (n * Σ x_i) − (n + 1) / n
+
+    Scale shape: ONE shuffle on a coarse hash bucket of the GROUP (all
+    rows of a group co-locate; the partitioning assumption is the usual
+    one-group-fits-a-task of any per-group sort) and a vectorized sort +
+    cumsum per group; Σ i·x_i and Σ x_i are exact int64, the division
+    happens once per group, rounded to 6 decimals."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        g = batch[group_col].to_pandas()
+        codes = _pd.util.hash_array(g.to_numpy(dtype=object)).astype(np.uint64)
+        return pa.table(
+            {
+                "g": batch[group_col],
+                "v": pc.cast(batch[value_col], pa.int64()),
+                "bucket": pa.array(
+                    (codes % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby("g", sort=False):
+            x = np.sort(sub["v"].to_numpy(np.int64))
+            n = len(x)
+            tot = int(x.sum())
+            if n == 0 or tot == 0:
+                continue
+            ranked = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+            gini_val = (2.0 * ranked) / (float(n) * float(tot)) - (n + 1) / float(n)
+            rows.append((g, n, round(gini_val, 6)))
+        return pd.DataFrame(
+            {
+                "lang": [r[0] for r in rows],
+                "n_docs": pd.Series([r[1] for r in rows], dtype=np.int64),
+                "gini": pd.Series([r[2] for r in rows], dtype=np.float64),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(gini, batch_format="pandas")
+        .sort("lang")
+    )
+
+
 def daily_ohlc(orders: ray.data.Dataset) -> ray.data.Dataset:
     """Per-day OPEN/HIGH/LOW/CLOSE of order prices — the time-bucketed
     first/last/min/max rollup (ordered-aggregate semantics: open/close

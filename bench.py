@@ -219,6 +219,8 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "curate_crawl",
         "daily_ohlc",
         "weighted_median_price",
+        "nation_share",
+        "length_gini",
     ]
     out = {}
     for name in names:

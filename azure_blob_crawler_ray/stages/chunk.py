@@ -16,12 +16,15 @@ from typing import List
 import pyarrow as pa
 
 from ..config import CHUNK_MAX_TOKENS, SUPPORTED_DOCUMENT_EXTENSIONS
-from ..oracle.ref_chunker import RefChunker
+from ..functions.chunk_fast import FastChunker
 
 
 class ChunkStage:
     def __init__(self, max_tokens: int = CHUNK_MAX_TOKENS):
-        self.chunker = RefChunker()  # once per actor
+        # FastChunker == RefChunker (the conformance oracle) byte-for-byte
+        # — see functions/chunk_fast.py + tests/test_chunker_fast.py —
+        # in linear rather than quadratic token-count time
+        self.chunker = FastChunker()  # once per actor
         self.max_tokens = max_tokens
 
     def __call__(self, batch: pa.Table) -> pa.Table:

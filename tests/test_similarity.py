@@ -189,3 +189,89 @@ def test_mmr_topk_layout_invariant():
     ).to_pandas()
     assert a.equals(b)
     assert len(a) == 8 * 10
+
+
+@pytest.fixture(scope="module")
+def emb_lab_ds():
+    return ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_lab_np():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    lab = t["label"].to_numpy()
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m, lab
+
+
+def test_filtered_topk_pre_vs_post_semantics(emb_lab_ds, emb_lab_np):
+    """preFilter: k results all inside the slice, dense ranks 1..k.
+    postFilter: subset of the UNfiltered top-k with ORIGINAL ranks —
+    possibly < k rows (ref search_client.py:199-296 vectorFilterMode)."""
+    ids, m, lab = emb_lab_np
+    q, k, v = 4, 6, 1
+    pre = similarity.filtered_topk(
+        emb_lab_ds, num_queries=q, k=k, filter_value=v, mode="preFilter"
+    ).to_pandas()
+    post = similarity.filtered_topk(
+        emb_lab_ds, num_queries=q, k=k, filter_value=v, mode="postFilter"
+    ).to_pandas()
+
+    order = np.argsort(ids, kind="stable")[:q]
+    lab_of = dict(zip(ids.tolist(), lab.tolist()))
+    for qi in order:
+        qid = int(ids[qi])
+        sims = m @ m[qi]
+        full_top = np.lexsort((ids, -sims))[:k]
+        # postFilter twin: unfiltered top-k, then predicate, ranks kept
+        exp_post = [
+            (r + 1, int(ids[t]))
+            for r, t in enumerate(full_top)
+            if lab[t] == v
+        ]
+        g = post[post["query_id"] == qid].sort_values("rank")
+        assert list(zip(g["rank"].tolist(), g["vec_id"].tolist())) == exp_post
+        # preFilter twin: predicate first, then top-k, dense ranks
+        keep = lab == v
+        sids, ssims = ids[keep], sims[keep]
+        sl_top = np.lexsort((sids, -ssims))[: k]
+        exp_pre = [(r + 1, int(sids[t])) for r, t in enumerate(sl_top)]
+        g = pre[pre["query_id"] == qid].sort_values("rank")
+        assert list(zip(g["rank"].tolist(), g["vec_id"].tolist())) == exp_pre
+        # every preFilter hit is in-slice
+        assert all(lab_of[vv] == v for vv in g["vec_id"].tolist())
+
+
+def test_ivf_topk_prefilter_in_slice(emb_lab_ds, emb_lab_np):
+    """IVF preFilter: every returned hit satisfies the predicate, and
+    per-query results equal IVF over the pre-sliced corpus (the mask is
+    fused into the bucket scan, same centroids either way)."""
+    ids, m, lab = emb_lab_np
+    got = similarity.ivf_topk(
+        emb_lab_ds,
+        num_queries=4,
+        k=5,
+        num_centroids=8,
+        nprobe=8,  # probe all buckets -> exact within the slice
+        filter_column="label",
+        filter_value=0,
+    ).to_pandas()
+    lab_of = dict(zip(ids.tolist(), lab.tolist()))
+    assert len(got) > 0
+    assert all(lab_of[vv] == 0 for vv in got["vec_id"].tolist())
+    # nprobe == num_centroids scans every bucket: equals exact slice top-k
+    order = np.argsort(ids, kind="stable")[:4]
+    for qi in order:
+        qid = int(ids[qi])
+        sims = m @ m[qi]
+        keep = lab == 0
+        sids, ssims = ids[keep], sims[keep]
+        exp = [int(sids[t]) for t in np.lexsort((sids, -ssims))[:5]]
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert g["vec_id"].tolist() == exp

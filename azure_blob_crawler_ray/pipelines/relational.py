@@ -3143,6 +3143,7 @@ def bucket_hash_join(
     left_schema: "pa.Schema",
     right_schema: "pa.Schema",
     num_buckets: int = 64,
+    tag_batch_size: int = 262_144,
 ) -> ray.data.Dataset:
     """Distributed INNER equi-join as ONE coarse-bucket groupby + an
     in-bucket vectorized pandas merge — the empty-partition-safe
@@ -3222,11 +3223,25 @@ def bucket_hash_join(
             schema=out_schema,
         )
 
+    # tag_batch_size bundles the (often post-filter tiny) upstream blocks
+    # into few fat tagged blocks — the sort-shuffle behind groupby costs
+    # ~linearly in INPUT BLOCK COUNT at fixed rows (measured 32-CPU
+    # barrier: 128 tiny blocks 2.5 s vs 16 blocks 0.3 s for the same
+    # 100k rows), so coalescing here, with zero extra exchange, removes
+    # most of the per-join fixed cost. At scale the same value simply
+    # caps tagged blocks at ~tag_batch_size rows (~10-20 MB for these
+    # narrow join schemas).
     tagged = left.map_batches(
-        tag(0, left_on, lnames), batch_format="pyarrow", zero_copy_batch=True
+        tag(0, left_on, lnames),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=tag_batch_size,
     ).union(
         right.map_batches(
-            tag(1, right_on, rnames), batch_format="pyarrow", zero_copy_batch=True
+            tag(1, right_on, rnames),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=tag_batch_size,
         )
     )
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

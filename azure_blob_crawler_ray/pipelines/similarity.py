@@ -14,6 +14,7 @@ index.json:44-55; semantics = top-k by cosine, SURVEY.md §2.6 K2)."""
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -467,18 +468,49 @@ def cosine_near_dup_pairs(
     return emb.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def lsh_params_for(
+    threshold: float, *, target_recall: float = 0.9, max_tables: int = 64
+) -> tuple[int, int]:
+    """(num_bits, num_tables) hitting ``target_recall`` for pairs AT the
+    cosine ``threshold`` under random-hyperplane LSH (Charikar '02): a
+    hyperplane splits a pair with probability θ/π, so one B-bit table
+    collides with p(θ)^B and T tables give 1-(1-p^B)^T.  Pick the LARGEST
+    B whose required T stays ≤ ``max_tables`` — more bits = sparser
+    buckets = fewer spurious candidates, which is what bounds verify
+    cost as the corpus grows; T is the shuffle-volume multiplier."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = (1, max_tables)
+    # key layout packs the B bucket bits below the table tag at bit 32
+    for bits in range(1, 32):
+        pb = p**bits
+        if pb <= 0:
+            break
+        t = math.ceil(math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - pb))
+        if t <= max_tables:
+            best = (bits, max(1, t))
+        else:
+            break
+    return best
+
+
 def lsh_near_dup_pairs(
     emb: ray.data.Dataset,
     *,
     threshold: float = 0.5,
-    num_tables: int = 8,
-    num_bits: int = 12,
+    num_tables: int | None = None,
+    num_bits: int | None = None,
+    target_recall: float = 0.9,
     seed: int = 11,
 ) -> ray.data.Dataset:
     """Scale path for cosine near-dup: random-hyperplane LSH (Charikar
     '02). Each vector gets ``num_tables`` sketch keys; candidates share a
     key in ≥1 table; exact cosine verifies inside the bucket groupby.
     Only (vec_id, key, embedding) rows shuffle — uniform hash keys.
+    When ``num_bits``/``num_tables`` are omitted they are derived from
+    ``threshold`` via :func:`lsh_params_for` so the operator meets
+    ``target_recall`` at the requested similarity level instead of
+    silently degrading for low thresholds (precision is always 1.0 —
+    candidates are exact-verified in-bucket).
 
     Shuffle shape: the groupby key is a COARSE bucket (hash of the
     sketch key % 64), ONE Python call per bucket with vectorized
@@ -486,6 +518,10 @@ def lsh_near_dup_pairs(
     per distinct sketch key (thousands) — and the cross-table pair
     combine packs (vec_a, vec_b) into one uint64 + np.unique instead of
     a multi-key groupby aggregate (the measured minutes-at-scale trap)."""
+    if num_bits is None or num_tables is None:
+        auto_bits, auto_tables = lsh_params_for(threshold, target_recall=target_recall)
+        num_bits = auto_bits if num_bits is None else num_bits
+        num_tables = auto_tables if num_tables is None else num_tables
     planes = None  # built lazily once dim is known
     num_gbuckets = 64
 

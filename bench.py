@@ -256,6 +256,56 @@ def run_pipeline_bench(sf_dir: str) -> dict:
     zhits = sum(len(b_sets[q] & z_sets.get(q, set())) for q in b_sets.index)
     out["quant_recall"] = round(zhits / max(sum(len(s) for s in b_sets), 1), 3)
     out["quant_topk_rows"] = len(qz)
+
+    # Approximate-dedup quality gates (VERDICT r2 #4): every approximate
+    # operator ships with a measured figure against its exact twin.
+    ex = qs["cosine_near_dup"](sf_dir).to_pandas()
+    exact_pairs = set(zip(ex["vec_a"].astype(int), ex["vec_b"].astype(int)))
+    t0 = time.time()
+    lsh = qs["lsh_near_dup"](sf_dir).to_pandas()
+    out["lsh_near_dup"] = round(time.time() - t0, 2)
+    lsh_pairs = set(zip(lsh["vec_a"].astype(int), lsh["vec_b"].astype(int)))
+    hit = lsh_pairs & exact_pairs
+    out["lsh_recall"] = round(len(hit) / max(len(exact_pairs), 1), 3)
+    out["lsh_precision"] = round(len(hit) / max(len(lsh_pairs), 1), 3)
+
+    # semdedup: within-cluster agreement isolates implementation quality
+    # (must be ~1.0); global recall quantifies the paper-inherent
+    # cross-cluster loss at this threshold/centroid count.
+    sd = qs["semdedup"](sf_dir).to_pandas()
+    marks = set(sd[sd["is_dup"]]["vec_id"].astype(int))
+    cluster = dict(zip(sd["vec_id"].astype(int), sd["cluster"].astype(int)))
+    expected_within = {b for a, b in exact_pairs if cluster[a] == cluster[b]}
+    agree = len(marks & expected_within) / max(len(marks | expected_within), 1)
+    out["semdedup_cluster_agreement"] = round(agree, 3)
+    glob = set(ex["vec_b"].astype(int))
+    out["semdedup_global_recall"] = round(len(marks & glob) / max(len(glob), 1), 3)
+
+    # minhash LSH vs true char-5-gram Jaccard on a deterministic 1/10
+    # doc sample (exact all-pairs baseline stays O(sample^2)).
+    from azure_blob_crawler_ray.functions.textstats import char_ngrams
+    from azure_blob_crawler_ray.pipelines import dataprep as _dp
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b.filter(b["doc_id"].to_numpy() % 10 == 0), batch_format="pyarrow"
+    )
+    mh = _dp.minhash_lsh_pairs(docs, threshold=0.6).to_pandas()
+    got = set(zip(mh["doc_a"].astype(int), mh["doc_b"].astype(int)))
+    sdf = docs.to_pandas()
+    ids = sdf["doc_id"].to_numpy()
+    sets = [char_ngrams(t, 5) for t in sdf["text"]]
+    exactj = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            if inter and inter / (len(sets[i]) + len(sets[j]) - inter) >= 0.6:
+                x, y = int(ids[i]), int(ids[j])
+                exactj.add((min(x, y), max(x, y)))
+    mhit = got & exactj
+    out["minhash_recall"] = round(len(mhit) / max(len(exactj), 1), 3)
+    out["minhash_precision"] = round(len(mhit) / max(len(got), 1), 3)
     return out
 
 
@@ -368,8 +418,11 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     crawl = run_crawl_bench(num_cpus)
     queries = run_pipeline_bench(sf_dir)
+    def _is_wall(k: str) -> bool:
+        return not k.endswith(("_rows", "_recall", "_precision", "_agreement"))
+
     total = round(
-        crawl["wall_s"] + sum(v for k, v in queries.items() if not k.endswith("_rows")), 2
+        crawl["wall_s"] + sum(v for k, v in queries.items() if _is_wall(k)), 2
     )
     print(
         json.dumps(
@@ -379,7 +432,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {
                     "crawl_headline": crawl["wall_s"],
-                    **{k: v for k, v in queries.items() if not k.endswith("_rows")},
+                    **{k: v for k, v in queries.items() if _is_wall(k)},
+                },
+                "quality": {
+                    k: v for k, v in queries.items()
+                    if k.endswith(("_recall", "_precision", "_agreement"))
                 },
                 "detail": {
                     "crawl": crawl,

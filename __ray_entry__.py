@@ -692,6 +692,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=ANN_K,
         )
 
+    def q_hnsw_topk(sf):
+        return similarity.hnsw_topk(
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            num_queries=NUM_ANN_QUERIES,
+            k=ANN_K,
+        )
+
     def q_quality(sf):
         return dataprep.quality_score(_read(sf, "documents", ["doc_id", "text"]))
 
@@ -1138,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "lsh_near_dup": q_lsh_near_dup,
         "ivf_topk": q_ivf_topk,
+        "hnsw_topk": q_hnsw_topk,
         "approx_distinct_users": q_approx_distinct,
         "quality_score": q_quality,
         "token_count_bpe": q_token_count_bpe,

@@ -275,3 +275,28 @@ def test_ivf_topk_prefilter_in_slice(emb_lab_ds, emb_lab_np):
         exp = [int(sids[t]) for t in np.lexsort((sids, -ssims))[:5]]
         g = got[got["query_id"] == qid].sort_values("rank")
         assert g["vec_id"].tolist() == exp
+
+
+def test_hnsw_topk_recall_and_determinism():
+    """HNSW-class graph ANN (the reference index's declared semantic):
+    recall floor vs brute force on the sf0.01 embeddings, byte-equal
+    across runs and across shard counts (graph build is deterministic
+    in vec_id order, no RNG)."""
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = similarity.hnsw_topk(emb, num_queries=5, k=10).to_pandas()
+    brute = similarity.brute_force_topk(emb, num_queries=5, k=10).to_pandas()
+    b_sets = brute.groupby("query_id")["vec_id"].apply(set)
+    g_sets = got.groupby("query_id")["vec_id"].apply(set)
+    hits = sum(len(b_sets[q] & g_sets.get(q, set())) for q in b_sets.index)
+    recall = hits / sum(len(s) for s in b_sets)
+    assert recall >= 0.85, f"hnsw recall {recall:.3f}"
+    again = similarity.hnsw_topk(emb, num_queries=5, k=10).to_pandas()
+    assert got.equals(again)
+    other_shards = similarity.hnsw_topk(
+        emb, num_queries=5, k=10, num_shards=3
+    ).to_pandas()
+    o_sets = other_shards.groupby("query_id")["vec_id"].apply(set)
+    hits3 = sum(len(b_sets[q] & o_sets.get(q, set())) for q in b_sets.index)
+    assert hits3 / sum(len(s) for s in b_sets) >= 0.85

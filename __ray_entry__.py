@@ -784,6 +784,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "orders", ["o_custkey", "o_orderdate"]),
         )
 
+    def q_forecast_revenue(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.forecast_revenue(
+            _read(sf, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        )
+
+    def q_nation_trade_volume(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.nation_trade_volume(
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        )
+
+    def q_market_share(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.market_share(
+            _read(sf, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf, "customer", ["c_custkey", "c_nationkey"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            _read(sf, "region", ["r_regionkey", "r_name"]),
+            _read(sf, "part", ["p_partkey", "p_type"]),
+        )
+
+    def q_product_profit(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.product_profit(
+            _read(sf, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"]),
+            _read(sf, "orders", ["o_orderkey", "o_orderdate"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "part", ["p_partkey", "p_name", "p_retailprice"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        )
+
+    def q_nation_part_value(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.nation_part_value(
+            _read(sf, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+            _read(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+            _read(sf, "nation", ["n_nationkey", "n_name"]),
+        )
+
+    def q_returnflag_priority_counts(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.returnflag_priority_counts(
+            _read(sf, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"]),
+            _read(sf, "orders", ["o_orderkey", "o_orderpriority"]),
+        )
+
+    def q_supplier_part_counts(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.supplier_part_counts(
+            _read(sf, "lineitem", ["l_partkey", "l_suppkey"]),
+            _read(sf, "part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+            _read(sf, "supplier", ["s_suppkey", "s_acctbal"]),
+        )
+
+    def q_small_qty_revenue(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.small_qty_revenue(
+            _read(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]),
+            _read(sf, "part", ["p_partkey", "p_brand", "p_size"]),
+        )
+
+    def q_bulk_part_suppliers(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.bulk_part_suppliers(
+            _read(sf, "lineitem", ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"]),
+            _read(sf, "part", ["p_partkey", "p_name"]),
+            _read(sf, "supplier", ["s_suppkey", "s_name"]),
+        )
+
+    def q_sole_return_suppliers(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.sole_return_suppliers(
+            _read(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]),
+            _read(sf, "orders", ["o_orderkey", "o_orderstatus"]),
+            _read(sf, "supplier", ["s_suppkey", "s_name"]),
+        )
+
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
@@ -1206,6 +1300,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_supplier": q_top_revenue_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
         "dormant_rich_customers": q_dormant_rich_customers,
+        "forecast_revenue": q_forecast_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "nation_part_value": q_nation_part_value,
+        "returnflag_priority_counts": q_returnflag_priority_counts,
+        "supplier_part_counts": q_supplier_part_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "bulk_part_suppliers": q_bulk_part_suppliers,
+        "sole_return_suppliers": q_sole_return_suppliers,
         "scrub_values": q_scrub_values,
         "centroid_outliers": q_centroid_outliers,
         "source_overlap": q_source_overlap,
@@ -2668,6 +2772,176 @@ def oracle_sql() -> dict[str, str]:
                     SELECT o_custkey FROM orders
                     WHERE o_orderdate >= TIMESTAMP '2001-01-01')
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        # TPC-H Q6-shaped: pure scan filter aggregate
+        "forecast_revenue": """
+            SELECT ROUND(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0
+                                        + 0.5) AS BIGINT)) / 100.0, 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        # TPC-H Q7-shaped: two-nation shipping volume by direction and year
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                   ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                        * 100.0 + 0.5) AS BIGINT)) / 100.0,
+                         2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+                OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # TPC-H Q8-shaped: one nation's market share by order year
+        "market_share": """
+            WITH slice AS (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                  * 100.0 + 0.5) AS BIGINT) AS cents,
+                       s.s_nationkey
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = cn.n_regionkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   SUM(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation
+                                                WHERE n_name = 'NATION_3')
+                            THEN cents ELSE 0 END) / SUM(cents) AS mkt_share,
+                   ROUND(SUM(cents) / 100.0, 2) AS total_revenue
+            FROM slice GROUP BY o_year ORDER BY o_year
+        """,
+        # TPC-H Q9-shaped: profit per supplier nation per year (retailprice
+        # cost proxy, exact integer cents)
+        "product_profit": """
+            SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                        * 100.0 + 0.5) AS BIGINT)
+                             - CAST(FLOOR(p.p_retailprice * 10.0 + 0.5) AS BIGINT)
+                               * CAST(l.l_quantity AS BIGINT)) / 100.0,
+                         2) AS profit
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+        """,
+        # TPC-H Q11-shaped: parts above a fraction of one nation's total value
+        "nation_part_value": """
+            WITH v AS (
+                SELECT l_partkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                      * 100.0 + 0.5) AS BIGINT)) AS cents
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, ROUND(cents / 100.0, 2) AS value
+            FROM v WHERE cents * 500 > (SELECT SUM(cents) FROM v)
+            ORDER BY value DESC, l_partkey
+        """,
+        # TPC-H Q12-shaped: high/low priority line counts per return flag
+        "returnflag_priority_counts": """
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # TPC-H Q16-shaped: distinct suppliers per surviving (brand,type,size)
+        "supplier_part_counts": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM pairs pr JOIN part p ON p.p_partkey = pr.l_partkey
+            WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND pr.l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # TPC-H Q17-shaped: revenue of below-20%-of-avg-quantity lines
+        "small_qty_revenue": """
+            WITH pk AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#13' AND p_size <= 10
+            ), agg AS (
+                SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+                       COUNT(*) AS c
+                FROM lineitem JOIN pk ON p_partkey = l_partkey
+                GROUP BY l_partkey
+            )
+            SELECT ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                        * 100.0 + 0.5) AS BIGINT)) / 100.0,
+                         2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN agg a ON a.l_partkey = l.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.c < a.sq
+        """,
+        # TPC-H Q20-shaped: suppliers shipping bulk quantities of matched parts
+        "bulk_part_suppliers": """
+            WITH s AS (
+                SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS q
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2
+            )
+            SELECT DISTINCT sp.s_suppkey, sp.s_name
+            FROM s JOIN supplier sp ON sp.s_suppkey = s.l_suppkey
+            WHERE s.q > 60 ORDER BY sp.s_suppkey
+        """,
+        # TPC-H Q21-shaped: sole returning supplier on multi-supplier F orders
+        "sole_return_suppliers": """
+            WITH pairs AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS had_r
+                FROM lineitem GROUP BY 1, 2
+            ), ords AS (
+                SELECT l_orderkey FROM pairs
+                JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1 HAVING COUNT(*) > 1 AND SUM(had_r) = 1
+            ), cnts AS (
+                SELECT p.l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT)
+                           AS numwait
+                FROM pairs p JOIN ords USING (l_orderkey)
+                WHERE p.had_r = 1 GROUP BY 1
+            )
+            SELECT c.s_suppkey, sp.s_name, c.numwait
+            FROM cnts c JOIN supplier sp ON sp.s_suppkey = c.s_suppkey
+            ORDER BY c.numwait DESC, c.s_suppkey LIMIT 20
         """,
         # streaming PII scrub: RE2 replace + redaction count (both engines RE2)
         "scrub_values": """

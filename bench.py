@@ -263,6 +263,16 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "weighted_median_price",
         "nation_share",
         "length_gini",
+        "forecast_revenue",
+        "nation_trade_volume",
+        "market_share",
+        "product_profit",
+        "nation_part_value",
+        "returnflag_priority_counts",
+        "supplier_part_counts",
+        "small_qty_revenue",
+        "bulk_part_suppliers",
+        "sole_return_suppliers",
     ]
     out = {}
     for name in names:

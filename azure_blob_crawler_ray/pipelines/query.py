@@ -159,6 +159,102 @@ def hybrid_search(
     return ray.data.from_pandas(merged.reset_index(drop=True).astype(types))
 
 
+def filtered_hybrid(
+    docs: ray.data.Dataset,
+    emb: ray.data.Dataset,
+    terms: Sequence[str],
+    query_vec_id: int = 0,
+    *,
+    expr: str,
+    top: int = SEARCH_DEFAULT_TOP,
+    pool: int = 100,
+    fusion: str = "rrf",
+) -> ray.data.Dataset:
+    """Q3 + filter_query: hybrid RRF search constrained by an attribute
+    predicate — the reference's most common composite query (S12 accepts
+    an OData ``filter_query`` together with text+vector search, ref
+    shared/azure_clients/search_client.py:199-296, esp. :207,256-263;
+    preFilter semantics: the predicate restricts BOTH rank pools before
+    scoring, as Azure applies it server-side).
+
+    Scale shape: the predicate pushes down on the documents side for the
+    text pool; the vector side is an EXACT distributed semi-join — cosine
+    scores compute map-side, then one ``bucket_hash_join`` against the
+    eligible doc_id projection (a Bloom filter would pass false
+    positives into the rank pool and corrupt rank numbers). Both pools
+    are tiny (``pool`` rows) before fusion."""
+    import ray as _ray
+
+    from .relational import bucket_hash_join
+
+    k = clamp_top(top)
+    fdocs = docs.filter(expr=expr)
+    qdf = emb.filter(expr=f"vec_id == {query_vec_id}").to_pandas()
+    qv = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))[0]
+    q_ref = _ray.put(qv)
+
+    def cos(batch: pa.Table) -> pa.Table:
+        v = _ray.get(q_ref)
+        m = _normalize(_emb_matrix(batch))
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "cos": pa.array(m @ v, type=pa.float64()),
+            }
+        )
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64())})
+
+    eligible = fdocs.map_batches(
+        keys_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    scored = emb.map_batches(cos, batch_format="pyarrow", zero_copy_batch=True)
+    cos_pool = (
+        bucket_hash_join(
+            scored,
+            eligible,
+            left_on="vec_id",
+            right_on="doc_id",
+            left_schema=pa.schema([("vec_id", pa.int64()), ("cos", pa.float64())]),
+            right_schema=pa.schema([("doc_id", pa.int64())]),
+        )
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()
+    )
+    cos_pool["vec_rank"] = np.arange(1, len(cos_pool) + 1, dtype=np.int64)
+
+    tf_pool = (
+        tf_scores(fdocs, terms)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()
+    )
+    tf_pool["text_rank"] = np.arange(1, len(tf_pool) + 1, dtype=np.int64)
+
+    merged = tf_pool.merge(
+        cos_pool, left_on="doc_id", right_on="vec_id", how="inner"
+    )[["doc_id", "text_rank", "vec_rank"]]
+    if fusion == "rrf":
+        merged["fused"] = 1.0 / (RRF_K + merged["text_rank"].to_numpy()) + 1.0 / (
+            RRF_K + merged["vec_rank"].to_numpy()
+        )
+        merged = merged.sort_values(
+            ["fused", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        types = {"doc_id": "int64", "text_rank": "int64", "vec_rank": "int64",
+                 "fused": "float64"}
+    elif fusion == "borda":
+        merged["fused"] = merged["text_rank"] + merged["vec_rank"]
+        merged = merged.sort_values(["fused", "doc_id"], kind="mergesort").head(k)
+        types = {"doc_id": "int64", "text_rank": "int64", "vec_rank": "int64",
+                 "fused": "int64"}
+    else:
+        raise ValueError(f"unknown fusion {fusion!r} (expected 'rrf' or 'borda')")
+    return ray.data.from_pandas(merged.reset_index(drop=True).astype(types))
+
+
 def bm25_search(
     docs: ray.data.Dataset,
     terms: Sequence[str],

@@ -133,3 +133,26 @@ def test_media_feature_stage_plumbing():
     )
     assert len(frames) == 6
     assert frames["frame"].tolist() == list(range(6))
+
+
+def test_filtered_hybrid_prefilter_binds(docs_ds):
+    """The predicate must constrain BOTH rank pools: every fused result
+    satisfies it, and the rank numbers are recomputed over the eligible
+    set (not sliced from the unfiltered pools)."""
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    terms = ("data", "join")
+    expr = "lang == 'en' and n_chars >= 200"
+    got = query.filtered_hybrid(
+        docs_ds, emb, terms, query_vec_id=0, expr=expr, top=10, pool=50
+    ).to_pandas()
+    plain = query.hybrid_search(docs_ds, emb, terms, query_vec_id=0, top=10, pool=50).to_pandas()
+
+    eligible = set(
+        docs_ds.filter(expr=expr).select_columns(["doc_id"]).to_pandas()["doc_id"]
+    )
+    assert len(got) > 0
+    assert set(got["doc_id"]).issubset(eligible)
+    # the unfiltered result must contain at least one ineligible doc for
+    # the comparison to be meaningful, and the two lists must differ
+    assert not set(plain["doc_id"]).issubset(eligible)
+    assert got["doc_id"].tolist() != plain["doc_id"].tolist()

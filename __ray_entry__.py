@@ -889,6 +889,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "supplier", ["s_suppkey", "s_name"]),
         )
 
+    def q_remove_duplicate_spans(sf):
+        return dataprep.remove_duplicate_spans(
+            _read(sf, "documents", ["doc_id", "text"]), n=8, min_docs=2
+        )
+
     def q_scrub_values(sf):
         return dataprep.scrub_values(_read(sf, "events", ["event_id", "props"]))
 
@@ -1322,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q_small_qty_revenue,
         "bulk_part_suppliers": q_bulk_part_suppliers,
         "sole_return_suppliers": q_sole_return_suppliers,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
         "scrub_values": q_scrub_values,
         "centroid_outliers": q_centroid_outliers,
         "source_overlap": q_source_overlap,
@@ -2981,6 +2987,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.s_suppkey, sp.s_name, c.numwait
             FROM cnts c JOIN supplier sp ON sp.s_suppkey = c.s_suppkey
             ORDER BY c.numwait DESC, c.s_suppkey LIMIT 20
+        """,
+        # Lee et al. 2022 substring dedup, rewrite step: excise word
+        # 8-grams seen in >=2 docs from every non-first carrier
+        "remove_duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i AS s, array_to_string(w[i:i+7], ' ') AS g
+                FROM toks, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+                WHERE len(w) >= 8
+            ), dup AS (
+                SELECT g, MIN(doc_id) AS keeper FROM grams
+                GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+            ), covered AS (
+                SELECT DISTINCT gr.doc_id, gr.s + o.off AS pos
+                FROM grams gr JOIN dup d ON gr.g = d.g,
+                     LATERAL unnest(range(0, 8)) AS o(off)
+                WHERE gr.doc_id <> d.keeper
+            ), positions AS (
+                SELECT t.doc_id, i, w[CAST(i AS INT)] AS tok
+                FROM toks t, LATERAL unnest(range(1, len(w) + 1)) AS t2(i)
+            ), kept AS (
+                SELECT p.doc_id, p.i, p.tok
+                FROM positions p
+                LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.pos = p.i
+                WHERE c.pos IS NULL
+            )
+            SELECT t.doc_id,
+                   COALESCE(k.clean_text, '') AS clean_text,
+                   CAST(len(t.w) - COALESCE(k.kept_cnt, 0) AS BIGINT) AS n_removed
+            FROM toks t LEFT JOIN (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                       COUNT(*) AS kept_cnt
+                FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
+            ORDER BY t.doc_id
         """,
         # streaming PII scrub: RE2 replace + redaction count (both engines RE2)
         "scrub_values": """

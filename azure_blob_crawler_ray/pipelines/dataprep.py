@@ -2739,3 +2739,149 @@ def mix_sources(
     return docs.select_columns(["doc_id", "text", "source"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def remove_duplicate_spans(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+    doc_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cross-document duplicate-SPAN removal — the rewrite step of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") that ``dup_ngram_coverage`` only measures: every word
+    ``n``-gram occurring in >= ``min_docs`` distinct documents keeps its
+    FIRST carrier (min doc_id) intact and is excised from every other
+    document.  Output per doc: (doc_id, clean_text, n_removed) where
+    clean_text joins the surviving tokens with single spaces (the
+    whitespace-normalized form the SQL twin's string_agg produces) and
+    n_removed counts excised token positions.
+
+    Scale shape — three linear exchanges, nothing corpus-scale on the
+    driver:
+      1. map: n-gram OCCURRENCES (gram, doc_id, start) form vectorized
+         (offset arithmetic + Arrow take/join — no Python loop);
+      2. one coarse gram-hash-bucket groupby; within a bucket a
+         vectorized pandas transform finds grams with >= min_docs
+         distinct carriers, assigns keeper = min(doc_id), and emits
+         (doc_id, start) removal rows for non-keeper occurrences —
+         exact string grouping, the hash only routes;
+      3. removals and the doc text tag-union into ONE doc-bucket
+         exchange; per bucket the covered position mask builds from
+         merged [start, start+n) runs and the text re-joins.  Docs with
+         no removals take a fully vectorized whitespace-normalize path;
+         only actual dup carriers pay the per-doc rebuild loop."""
+    import re as _re
+
+    def occurrences_partial(batch: pa.Table) -> pa.Table:
+        vals, starts, lens = _token_slices(batch)
+        left, G = _window_starts(starts, lens, n)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(left) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int32()),
+                    "g": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "start": pa.array([], type=pa.int64()),
+                }
+            )
+        g = _join_ngrams(vals, left, n)
+        rel = left - np.repeat(starts, G)  # 0-based window start in doc
+        bucket = (hash64(g) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "g": g,
+                "doc_id": pa.array(np.repeat(did, G)),
+                "start": pa.array(rel),
+            }
+        )
+
+    def find_removals(df: pd.DataFrame) -> pa.Table:
+        grp = df.groupby("g")["doc_id"]
+        nd = grp.transform("nunique")
+        keeper = grp.transform("min")
+        rem = df[(nd >= min_docs) & (df["doc_id"] != keeper)]
+        return pa.table(
+            {
+                "doc_id": pa.array(rem["doc_id"].to_numpy().astype(np.int64)),
+                "start": pa.array(rem["start"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    MIXC = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag_removals(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((ids.astype(np.uint64) * MIXC) % np.uint64(doc_buckets)).astype(np.int32)
+        m = len(ids)
+        return pa.table(
+            {
+                "dbucket": pa.array(b),
+                "doc_id": pa.array(ids),
+                "start": pc.cast(batch["start"], pa.int64()),
+                "text": pa.array([""] * m, type=pa.string()),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((ids.astype(np.uint64) * MIXC) % np.uint64(doc_buckets)).astype(np.int32)
+        m = len(ids)
+        return pa.table(
+            {
+                "dbucket": pa.array(b),
+                "doc_id": pa.array(ids),
+                "start": pa.array(np.full(m, -1, dtype=np.int64)),
+                "text": batch["text"],
+            }
+        )
+
+    tok_re = _re.compile(r"\S+")
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        rem = df[df["start"] >= 0]
+        starts_by_doc = rem.groupby("doc_id")["start"].apply(
+            lambda s: np.unique(s.to_numpy())
+        )
+        d = df[df["start"] < 0]
+        ids = d["doc_id"].to_numpy(np.int64)
+        texts = d["text"]
+        touched = np.isin(ids, starts_by_doc.index.to_numpy())
+        # untouched docs: vectorized whitespace-normalize (== token join)
+        clean = (
+            texts.str.replace(r"\s+", " ", regex=True).str.strip().to_numpy(object)
+        )
+        removed = np.zeros(len(ids), dtype=np.int64)
+        for i in np.flatnonzero(touched):
+            toks = tok_re.findall(texts.iloc[i])
+            keep = np.ones(len(toks), dtype=bool)
+            for s in starts_by_doc[ids[i]]:
+                keep[s : s + n] = False
+            clean[i] = " ".join(t for t, k in zip(toks, keep) if k)
+            removed[i] = int((~keep).sum())
+        return pd.DataFrame(
+            {"doc_id": ids, "clean_text": clean, "n_removed": removed}
+        )
+
+    proj = docs.select_columns(["doc_id", "text"])
+    removals = (
+        proj.map_batches(
+            occurrences_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .map_groups(find_removals, batch_format="pandas")
+        .map_batches(tag_removals, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tagged_docs = proj.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        tagged_docs.union(removals)
+        .groupby("dbucket")
+        .map_groups(rebuild, batch_format="pandas")
+        .sort("doc_id")
+    )

@@ -301,3 +301,33 @@ def test_signature_batching_matches_per_doc_computation():
             (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
         ))
         assert int(sim[i]) == expect
+
+
+def test_remove_duplicate_spans_hand_case():
+    """Keeper (min doc_id) survives intact; non-keepers lose every
+    covered position (overlapping spans merge); short docs only get
+    whitespace-normalized; a doc that IS the span empties out."""
+    import pyarrow as pa
+    import ray.data
+
+    G = "a b c d e f g h"  # the shared 8-gram
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        G + " X",              # keeper (min doc_id)
+                        "z " + G + " " + G + " y",  # two occurrences, both excised
+                        G,                      # exactly the span -> empty
+                        "p  q \t r",            # short: normalize only
+                        "w " + G + " v",        # one occurrence
+                    ]
+                ),
+            }
+        )
+    )
+    got = dataprep.remove_duplicate_spans(docs, n=8, min_docs=2).to_pandas()
+    assert got["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert got["clean_text"].tolist() == [G + " X", "z y", "", "p q r", "w v"]
+    assert got["n_removed"].tolist() == [0, 16, 8, 0, 8]

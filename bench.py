@@ -273,6 +273,8 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "small_qty_revenue",
         "bulk_part_suppliers",
         "sole_return_suppliers",
+        "filtered_hybrid",
+        "remove_duplicate_spans",
     ]
     out = {}
     for name in names:

@@ -125,6 +125,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pool=100,
         )
 
+    def q_filtered_hybrid_post(sf):
+        return query.filtered_hybrid(
+            _read(sf, "documents", ["doc_id", "text", "lang", "n_chars"]),
+            _read(sf, "embeddings", ["vec_id", "embedding"]),
+            SEARCH_TERMS,
+            query_vec_id=0,
+            expr="lang == 'en' and n_chars >= 200",
+            top=10,
+            pool=100,
+            vector_filter_mode="postFilter",
+        )
+
     def q_get_all_docs(sf):
         return query.get_all_docs(_read(sf, "documents", ["doc_id"]))
 
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search": q_text_search,
         "hybrid_search": q_hybrid_search,
         "filtered_hybrid": q_filtered_hybrid,
+        "filtered_hybrid_post": q_filtered_hybrid_post,
         "get_all_docs": q_get_all_docs,
         "filter_select": q_filter_select,
         "ann_topk": q_ann_topk,
@@ -1471,6 +1484,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.text_rank, c.vec_rank,
                    1.0 / (60 + t.text_rank) + 1.0 / (60 + c.vec_rank) AS fused
             FROM tpool t JOIN cpool c ON t.doc_id = c.vec_id
+            ORDER BY fused DESC, t.doc_id
+            LIMIT 10
+        """,
+        "filtered_hybrid_post": f"""
+            WITH elig AS (
+                SELECT doc_id, text FROM documents
+                WHERE lang = 'en' AND n_chars >= 200
+            ), tpool AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY ({score}) DESC, doc_id) AS text_rank
+                FROM elig
+                ORDER BY ({score}) DESC, doc_id
+                LIMIT 100
+            ), q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+            ), cpool AS (
+                -- postFilter: rank over the WHOLE corpus, THEN filter —
+                -- rank numbers keep their unfiltered positions
+                SELECT e.vec_id,
+                       ROW_NUMBER() OVER (
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC,
+                                  e.vec_id) AS vec_rank
+                FROM embeddings e, q
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC, e.vec_id
+                LIMIT 100
+            ), ckept AS (
+                SELECT c.vec_id, c.vec_rank FROM cpool c
+                JOIN elig d ON d.doc_id = c.vec_id
+            )
+            SELECT t.doc_id, t.text_rank, c.vec_rank,
+                   1.0 / (60 + t.text_rank) + 1.0 / (60 + c.vec_rank) AS fused
+            FROM tpool t JOIN ckept c ON t.doc_id = c.vec_id
             ORDER BY fused DESC, t.doc_id
             LIMIT 10
         """,

@@ -169,20 +169,33 @@ def filtered_hybrid(
     top: int = SEARCH_DEFAULT_TOP,
     pool: int = 100,
     fusion: str = "rrf",
+    vector_filter_mode: str = "preFilter",
 ) -> ray.data.Dataset:
     """Q3 + filter_query: hybrid RRF search constrained by an attribute
     predicate — the reference's most common composite query (S12 accepts
-    an OData ``filter_query`` together with text+vector search, ref
-    shared/azure_clients/search_client.py:199-296, esp. :207,256-263;
-    preFilter semantics: the predicate restricts BOTH rank pools before
-    scoring, as Azure applies it server-side).
+    an OData ``filter_query`` together with text+vector search AND a
+    ``vector_filter_mode``, ref shared/azure_clients/search_client.py:
+    199-296, esp. :207,256-263).  The text leg is always pre-filtered
+    (the reference attaches the scalar filter to the text query
+    unconditionally, :262-263); ``vector_filter_mode`` picks the vector
+    leg's semantics:
+
+      * ``preFilter`` (default): the predicate restricts the vector
+        candidate set BEFORE ranks are assigned — ranks are dense over
+        eligible vectors;
+      * ``postFilter``: vectors rank over the WHOLE corpus, then
+        ineligible rows drop — rank numbers keep their unfiltered
+        positions and the pool may come back short, exactly Azure's
+        score-then-filter behavior.
 
     Scale shape: the predicate pushes down on the documents side for the
-    text pool; the vector side is an EXACT distributed semi-join — cosine
-    scores compute map-side, then one ``bucket_hash_join`` against the
-    eligible doc_id projection (a Bloom filter would pass false
-    positives into the rank pool and corrupt rank numbers). Both pools
-    are tiny (``pool`` rows) before fusion."""
+    text pool; the preFilter vector side is an EXACT distributed
+    semi-join — cosine scores compute map-side, then one
+    ``bucket_hash_join`` against the eligible doc_id projection (a Bloom
+    filter would pass false positives into the rank pool and corrupt
+    rank numbers); the postFilter side ranks first and then verifies
+    only the ``pool`` winners against the predicate with a key-pushdown
+    scan (bounded, never the dimension)."""
     import ray as _ray
 
     from .relational import bucket_hash_join
@@ -210,20 +223,47 @@ def filtered_hybrid(
         keys_only, batch_format="pyarrow", zero_copy_batch=True
     )
     scored = emb.map_batches(cos, batch_format="pyarrow", zero_copy_batch=True)
-    cos_pool = (
-        bucket_hash_join(
-            scored,
-            eligible,
-            left_on="vec_id",
-            right_on="doc_id",
-            left_schema=pa.schema([("vec_id", pa.int64()), ("cos", pa.float64())]),
-            right_schema=pa.schema([("doc_id", pa.int64())]),
+    if vector_filter_mode == "preFilter":
+        cos_pool = (
+            bucket_hash_join(
+                scored,
+                eligible,
+                left_on="vec_id",
+                right_on="doc_id",
+                left_schema=pa.schema([("vec_id", pa.int64()), ("cos", pa.float64())]),
+                right_schema=pa.schema([("doc_id", pa.int64())]),
+            )
+            .sort(["cos", "vec_id"], descending=[True, False])
+            .limit(pool)
+            .to_pandas()
         )
-        .sort(["cos", "vec_id"], descending=[True, False])
-        .limit(pool)
-        .to_pandas()
-    )
-    cos_pool["vec_rank"] = np.arange(1, len(cos_pool) + 1, dtype=np.int64)
+        cos_pool["vec_rank"] = np.arange(1, len(cos_pool) + 1, dtype=np.int64)
+    elif vector_filter_mode == "postFilter":
+        cos_pool = (
+            scored.sort(["cos", "vec_id"], descending=[True, False])
+            .limit(pool)
+            .to_pandas()
+        )
+        cos_pool["vec_rank"] = np.arange(1, len(cos_pool) + 1, dtype=np.int64)
+        # verify only the pool winners against the predicate — a
+        # key-pushdown scan returns <= pool rows, never the dimension
+        wset = pa.array(cos_pool["vec_id"].to_numpy().astype(np.int64))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=wset)
+            return pa.table(
+                {"doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(m)}
+            )
+
+        ok = eligible.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        cos_pool = cos_pool[cos_pool["vec_id"].isin(set(ok["doc_id"]))]
+    else:
+        raise ValueError(
+            f"unknown vector_filter_mode {vector_filter_mode!r} "
+            "(expected 'preFilter' or 'postFilter')"
+        )
 
     tf_pool = (
         tf_scores(fdocs, terms)

@@ -156,3 +156,27 @@ def test_filtered_hybrid_prefilter_binds(docs_ds):
     # the comparison to be meaningful, and the two lists must differ
     assert not set(plain["doc_id"]).issubset(eligible)
     assert got["doc_id"].tolist() != plain["doc_id"].tolist()
+
+
+def test_filtered_hybrid_pre_vs_post_semantics(docs_ds):
+    """preFilter assigns dense ranks over eligible vectors; postFilter
+    keeps unfiltered rank positions — on a corpus where ineligible docs
+    outrank eligible ones, the same doc carries a LARGER vec_rank under
+    postFilter."""
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    terms = ("data", "join")
+    expr = "lang == 'en' and n_chars >= 200"
+    pre = query.filtered_hybrid(
+        docs_ds, emb, terms, query_vec_id=0, expr=expr, top=10, pool=100,
+        vector_filter_mode="preFilter",
+    ).to_pandas()
+    post = query.filtered_hybrid(
+        docs_ds, emb, terms, query_vec_id=0, expr=expr, top=10, pool=100,
+        vector_filter_mode="postFilter",
+    ).to_pandas()
+    both = pre.merge(post, on="doc_id", suffixes=("_pre", "_post"))
+    assert len(both) > 0
+    # postFilter ranks skip ineligible rows, so they are >= the dense
+    # preFilter ranks, with at least one strict gap on this corpus
+    assert (both["vec_rank_post"] >= both["vec_rank_pre"]).all()
+    assert (both["vec_rank_post"] > both["vec_rank_pre"]).any()

@@ -181,3 +181,100 @@ def read_sharded(
         if d.startswith("shard-") and is_complete(os.path.join(uri, d))
     )
     return ray.data.read_parquet(dirs, columns=columns, file_extensions=["parquet"])
+
+
+def compact_shards(
+    uri: str,
+    *,
+    target_rows: int = 1_000_000,
+    concurrency: int | None = None,
+) -> dict:
+    """Compact every COMMITTED shard of a ``write_sharded`` layout: the
+    streaming write appends one part file per (task batch x shard), so a
+    long run leaves each shard as hundreds of small files — the classic
+    small-files problem a 100 TB table hits within hours.  Each shard is
+    rewritten into ceil(rows / target_rows) files named
+    ``part-c-NNNNN.parquet``; a shard already in compacted form is
+    skipped, so re-running is free.
+
+    Crash safety without a rename window: new files land beside the old
+    ones first, the old ones are deleted only after every new file of
+    that shard is on disk.  The invariant a (re)run repairs from is
+    "compacted shards contain ONLY part-c files": a crash mid-write or
+    mid-delete leaves BOTH kinds present, which the next run detects,
+    cleans (drops the part-c leftovers — the originals are still the
+    source of truth) and redoes.  Readers between runs may see the
+    mixed state, so compaction assumes no concurrent readers — it is a
+    maintenance pass, like VACUUM.
+
+    One Ray task per shard (a shard fits a worker by ``write_sharded``
+    construction); returns {"compacted": n, "skipped": n,
+    "files_before": n, "files_after": n}."""
+    import ray
+    import ray.data
+
+    shard_dirs = sorted(
+        os.path.join(uri, d)
+        for d in os.listdir(uri)
+        if d.startswith("shard-") and is_complete(os.path.join(uri, d))
+    )
+
+    def compact_one(batch: pa.Table) -> pa.Table:
+        out = {"compacted": [], "skipped": [], "before": [], "after": []}
+        for d in batch["dir"].to_pylist():
+            parts = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            old = [f for f in parts if not f.startswith("part-c-")]
+            new = [f for f in parts if f.startswith("part-c-")]
+            if not old:  # already compacted (possibly by a prior run)
+                out["compacted"].append(0)
+                out["skipped"].append(1)
+                out["before"].append(len(new))
+                out["after"].append(len(new))
+                continue
+            for f in new:  # crashed prior attempt: originals win, redo
+                os.remove(os.path.join(d, f))
+            t = pq.read_table([os.path.join(d, f) for f in old])
+            n_files = max(1, -(-t.num_rows // target_rows))
+            per = -(-t.num_rows // n_files) if t.num_rows else 1
+            written = 0
+            for i in range(n_files):
+                pq.write_table(
+                    t.slice(i * per, per),
+                    os.path.join(d, f"part-c-{i:05d}.parquet"),
+                )
+                written += 1
+            for f in old:  # all new files durable -> originals go
+                os.remove(os.path.join(d, f))
+            out["compacted"].append(1)
+            out["skipped"].append(0)
+            out["before"].append(len(old))
+            out["after"].append(written)
+        return pa.table(
+            {
+                "compacted": pa.array(out["compacted"], type=pa.int64()),
+                "skipped": pa.array(out["skipped"], type=pa.int64()),
+                "before": pa.array(out["before"], type=pa.int64()),
+                "after": pa.array(out["after"], type=pa.int64()),
+            }
+        )
+
+    if not shard_dirs:
+        return {"compacted": 0, "skipped": 0, "files_before": 0, "files_after": 0}
+    stats = (
+        ray.data.from_items([{"dir": d} for d in shard_dirs])
+        .map_batches(
+            compact_one,
+            batch_format="pyarrow",
+            batch_size=1,
+            **({"concurrency": concurrency} if concurrency else {}),
+        )
+        .to_pandas()
+    )
+    return {
+        "compacted": int(stats["compacted"].sum()),
+        "skipped": int(stats["skipped"].sum()),
+        "files_before": int(stats["before"].sum()),
+        "files_after": int(stats["after"].sum()),
+    }

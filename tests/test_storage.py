@@ -104,3 +104,62 @@ def test_write_sharded_resume_skips_completed(tmp_path):
     res3 = write_sharded(ray.data.from_arrow(t1), out, shard_col="shard", num_shards=k)
     assert res3 == {"written": [], "skipped": list(range(k))}
     shutil.rmtree(out)
+
+
+def test_compact_shards_roundtrip_and_crash_repair(tmp_path):
+    import shutil
+
+    import numpy as np
+
+    from azure_blob_crawler_ray.storage import (
+        compact_shards,
+        read_sharded,
+        shard_path,
+        write_sharded,
+    )
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "tbl")
+    n, k = 4000, 4
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "shard": ids % k, "v": ids * 3})
+    # many small input blocks -> many part files per shard
+    ds = ray.data.from_arrow(t).repartition(16)
+    write_sharded(ds, out, shard_col="shard", num_shards=k)
+    before = read_sharded(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    files0 = sum(
+        len([f for f in os.listdir(shard_path(out, s)) if f.endswith(".parquet")])
+        for s in range(k)
+    )
+    assert files0 > k  # the small-files problem exists
+
+    # crash state: a prior compaction attempt died mid-write — the
+    # originals are intact and a part-c leftover with bogus content
+    # sits beside them; the run must drop the leftover, not trust it
+    victim = shard_path(out, 1)
+    pa_bad = pa.table(
+        {"doc_id": pa.array([999999], type=pa.int64()),
+         "shard": pa.array([1], type=pa.int64()),
+         "v": pa.array([0], type=pa.int64())}
+    )
+    pq.write_table(pa_bad, os.path.join(victim, "part-c-99999.parquet"))
+
+    res = compact_shards(out, target_rows=600)
+    assert res["compacted"] == k and res["files_before"] == files0
+    after = read_sharded(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert after.equals(before)
+    assert res["files_after"] == sum(
+        -(-int((before["shard"] == s).sum()) // 600) for s in range(k)
+    )
+
+    # the bogus leftover was dropped, not trusted
+    assert 999999 not in set(after["doc_id"])
+
+    # idempotent: second run skips everything
+    res2 = compact_shards(out, target_rows=600)
+    assert res2["compacted"] == 0 and res2["skipped"] == k
+    assert read_sharded(out).to_pandas().sort_values("doc_id").reset_index(
+        drop=True
+    ).equals(before)
+    shutil.rmtree(out)

@@ -2936,7 +2936,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.p_name LIKE '%red%'
             GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
         """,
-        # TPC-H Q11-shaped: parts above a fraction of one nation's total value
+        # TPC-H Q11-shaped: parts above 2x one nation's average part value
+        # (the spec's fraction is 0.0001/SF, i.e. scale-dependent; the
+        # mult*avg form keeps the HAVING selective at every sf)
         "nation_part_value": """
             WITH v AS (
                 SELECT l_partkey,
@@ -2949,7 +2951,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_partkey
             )
             SELECT l_partkey, ROUND(cents / 100.0, 2) AS value
-            FROM v WHERE cents * 500 > (SELECT SUM(cents) FROM v)
+            FROM v
+            WHERE cents * (SELECT COUNT(*) FROM v)
+                  > 2 * (SELECT SUM(cents) FROM v)
             ORDER BY value DESC, l_partkey
         """,
         # TPC-H Q12-shaped: high/low priority line counts per return flag

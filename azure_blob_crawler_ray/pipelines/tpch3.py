@@ -602,13 +602,15 @@ def nation_part_value(
     nation: ray.data.Dataset,
     *,
     nation_name: str = "NATION_3",
-    frac_denom: int = 500,
+    mult: int = 2,
 ) -> ray.data.Dataset:
     """TPC-H Q11 shape: parts whose shipped value from one nation's
-    suppliers exceeds 1/``frac_denom`` of that nation's total (partsupp
-    value -> lineitem revenue proxy; the plan — grouped aggregate
-    filtered against a GLOBAL scalar of the same aggregate — is the
-    spec's).
+    suppliers exceeds ``mult`` x the nation's AVERAGE part value
+    (partsupp value -> lineitem revenue proxy; the spec's fixed fraction
+    is 0.0001/SF — i.e. it scales with table size — so the scale-free
+    form value > mult*avg keeps the HAVING selective at every sf; the
+    plan — grouped aggregate filtered against a GLOBAL scalar of the
+    same aggregate — is the spec's).
 
     Scale shape: the nation filter is a broadcast supplier-set test
     map-side (fact rows never shuffle unless they survive); ONE partkey
@@ -645,8 +647,10 @@ def nation_part_value(
         .materialize()  # #parts rows — small aggregate, reused twice below
     )
     total = int(values.sum("cents") or 0)
-    thresh = pa.scalar(total, type=pa.int64())
-    denom = pa.scalar(frac_denom, type=pa.int64())
+    n_parts = values.count()
+    # value > mult * avg  <=>  value * n_parts > mult * total (exact int64)
+    thresh = pa.scalar(mult * total, type=pa.int64())
+    denom = pa.scalar(max(n_parts, 1), type=pa.int64())
 
     def having(batch: pa.Table) -> pa.Table:
         keep = pc.greater(pc.multiply(batch["cents"], denom), thresh)

@@ -54,7 +54,7 @@ from ..state.admission import canonical_order
 from ..state.politeness import PolitenessShard
 from ..state.seen import SeenShard
 from ..storage import read_table, read_table_arrow, write_arrow, write_json, write_table
-from .ingest import chunk_stage, embed_stage, index_stage, parse_stage
+from .ingest import chunk_embed_index_stage, parse_stage
 
 @dataclass
 class CrawlRunResult:
@@ -877,22 +877,23 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         _tick("docs_write")
 
         if cfg.emit_index:
-            # actor pools sized to the cluster: the default (1, 8) cap
-            # leaves 3/4 of a 32-CPU node idle through this stage; the
-            # fetch stage is already finished (parsed is materialized),
-            # so the index stages can own the whole machine.
+            # ONE fused actor pool (chunk+embed+assemble) sized to the
+            # cluster: separate pools paid two spin-ups per wave (~10 s
+            # at 32 CPUs regardless of doc count); the fetch stage is
+            # already finished (parsed is materialized), so this stage
+            # can own the whole machine.
             pool = (1, max(8, ncpu))
             to_index = docs
             if cfg.dedup_content:
                 # content dups never reach the index (the canonical copy
                 # already did / will in its own wave)
                 to_index = docs.filter(expr="content_dup == False")
-            chunks = chunk_stage(
+            index = chunk_embed_index_stage(
                 to_index.select_columns(["doc_id", "ext", "full_content", "spans"]),
                 cfg.chunk_max_tokens,
+                cfg.embed_dim,
                 concurrency=pool,
             )
-            index = index_stage(embed_stage(chunks, cfg.embed_dim, concurrency=pool))
             write_table(index, os.path.join(cfg.out_dir, "index", f"wave-{wave:04d}"))
             _tick("index_write")
 

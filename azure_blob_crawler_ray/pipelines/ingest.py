@@ -72,15 +72,45 @@ def index_stage(embedded: ray.data.Dataset) -> ray.data.Dataset:
     return embedded.map_batches(assemble_index, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def chunk_embed_index_stage(
+    docs: ray.data.Dataset,
+    max_tokens: int = CHUNK_MAX_TOKENS,
+    dim: int = 64,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """chunk -> embed -> assemble fused into ONE actor pool: separate
+    pools pay two actor spin-ups and an object-store hop per execution
+    (~10 s per crawl wave at 32 CPUs, independent of doc count); the
+    fused stage composes the same per-actor state classes so semantics
+    are byte-identical (tests compare it against the staged path)."""
+    from ..stages.chunk import ChunkEmbedIndexStage
+
+    concurrency = concurrency or _pool_size()
+    return docs.map_batches(
+        ChunkEmbedIndexStage,
+        fn_constructor_args=(max_tokens, dim),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def ingest(
     blobs: ray.data.Dataset,
     *,
     embed_dim: int = 64,
     max_tokens: int = CHUNK_MAX_TOKENS,
     concurrency: int | tuple | None = None,
+    fused: bool = True,
 ) -> ray.data.Dataset:
-    """blobs -> index rows (id, content, vector); fully lazy/streaming."""
+    """blobs -> index rows (id, content, vector); fully lazy/streaming.
+    ``fused=True`` (default) runs chunk/embed/assemble in one actor
+    pool; ``fused=False`` keeps the three composable stages — the
+    extension surface of SURVEY.md §2.10 — with identical output."""
     docs = parse_stage(blobs)
+    if fused:
+        return chunk_embed_index_stage(docs, max_tokens, embed_dim, concurrency)
     chunks = chunk_stage(docs, max_tokens, concurrency)
     embedded = embed_stage(chunks, embed_dim, concurrency)
     return index_stage(embedded)

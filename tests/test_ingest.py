@@ -68,3 +68,30 @@ def test_zero_vector_fallback():
     out = ingest(ray.data.from_arrow(t), embed_dim=8).to_pandas()
     assert len(out) == 1
     assert np.array_equal(np.asarray(out.iloc[0]["vector"]), np.zeros(8, np.float32))
+
+
+def test_fused_stage_equals_staged_pipeline():
+    """chunk+embed+assemble fused into one actor pool must be
+    byte-identical to the three-stage composition."""
+    import pandas as pd
+
+    from azure_blob_crawler_ray.pipelines.ingest import ingest
+    import __ray_entry__ as entry
+
+    blobs = entry._docs_as_blobs("/root/testdata/sf0.001").limit(120)
+    fused = (
+        ingest(blobs, embed_dim=16, fused=True)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    staged = (
+        ingest(blobs, embed_dim=16, fused=False)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert fused["id"].tolist() == staged["id"].tolist()
+    assert fused["content"].tolist() == staged["content"].tolist()
+    for a, b in zip(fused["vector"], staged["vector"]):
+        assert list(a) == list(b)

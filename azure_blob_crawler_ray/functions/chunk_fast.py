@@ -33,15 +33,15 @@ from typing import List, Tuple
 
 from ..config import CHUNK_MAX_TOKENS, EMBEDDING_FALLBACK_TOKEN_RATIO, OVERLAP_TOKENS
 from ..oracle.ref_chunker import _SENTENCE_END
-from ..tokenizer import Tokenizer
+from ..tokenizer import Tokenizer, fast_token_count
 
 
 class FastChunker:
     def __init__(self) -> None:
         self.tok = Tokenizer()  # per-actor state, like the tiktoken load
-
-    def count_tokens(self, text: str) -> int:
-        return self.tok.count_tokens(text)
+        # exact vectorized twin of Tokenizer.count_tokens (equality
+        # hypothesis+corpus-tested in tests/test_fast_token_count.py)
+        self.count_tokens = fast_token_count
 
     def split_sentences(self, text: str) -> List[str]:
         parts = _SENTENCE_END.split(text)
@@ -60,7 +60,7 @@ class FastChunker:
         if overlap_tokens <= 0:
             return "", 0
         words = text.split()
-        count = self.tok.count_tokens
+        count = self.count_tokens
         total = 0
         i = len(words)
         while i > 0:
@@ -83,7 +83,7 @@ class FastChunker:
         """(pieces, token count of the last piece). The oracle's trial
         string ``acc + " " + word`` has count ``acc_n + count(word)`` by
         additivity — per-word counts once, cumulative accumulator."""
-        count = self.tok.count_tokens
+        count = self.count_tokens
         out: List[str] = []
         acc_words: List[str] = []
         acc_n = 0
@@ -122,7 +122,7 @@ class FastChunker:
     ) -> List[str]:
         if not text.strip():
             return []
-        count = self.tok.count_tokens
+        count = self.count_tokens
         # every token is >= 1 char: len <= cap proves a single chunk
         if len(text) <= max_tokens or count(text) <= max_tokens:
             return [text]
@@ -160,7 +160,7 @@ class FastChunker:
     ) -> List[str]:
         if not pages:
             return []
-        count = self.tok.count_tokens
+        count = self.count_tokens
         out: List[str] = []
         acc = ""
         acc_tokens = 0

@@ -40,20 +40,34 @@ def embed_batch(
     dim: int = EMBEDDING_VECTOR_DIMENSION,
     tok: Tokenizer | None = None,
     max_tokens: int = EMBEDDING_MAX_TOKENS,
+    counts: List[int] | None = None,
 ) -> np.ndarray:
-    """(n, dim) float32 matrix; one deterministic unit vector per text."""
+    """(n, dim) float32 matrix; one deterministic unit vector per text.
+
+    ``counts`` (optional) carries already-known exact token counts for
+    each text (the chunk stage computes them for its output column):
+    a row whose known count is <= max_tokens provably needs no
+    truncation, skipping the tokenizer rescan of the full text."""
     tok = tok or Tokenizer()
     out = np.zeros((len(texts), dim), dtype=np.float32)
     if not texts:
         return out
-    truncated = [truncate_for_embedding(t, tok, max_tokens) for t in texts]
+    if counts is None:
+        truncated = [truncate_for_embedding(t, tok, max_tokens) for t in texts]
+    else:
+        truncated = [
+            t if (c is not None and c <= max_tokens) else truncate_for_embedding(t, tok, max_tokens)
+            for t, c in zip(texts, counts)
+        ]
     seeds = hash64(truncated)
     for i, (t, s) in enumerate(zip(truncated, seeds)):
         if not t.strip() or FAIL_MARKER in t:
             continue  # zero-vector fallback (ref document_processor.py:202-205)
         rng = np.random.Generator(np.random.PCG64(int(s)))
         v = rng.standard_normal(dim).astype(np.float32)
-        n = float(np.linalg.norm(v))
+        # float(sqrt(dot(v, v))) is bit-identical to np.linalg.norm(v) for
+        # 1-D float32 (norm IS sqrt(dot)) without its errstate machinery
+        n = float(np.sqrt(np.dot(v, v)))
         if n > 0:
             out[i] = v / n
     return out

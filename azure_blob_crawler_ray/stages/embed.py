@@ -28,6 +28,13 @@ class EmbedStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        mat = embed_batch(texts, dim=self.dim, tok=self.tok, max_tokens=self.max_tokens)
+        # chunk batches carry exact token counts (the chunk stage output
+        # column) — rows provably under the cap skip the truncation rescan
+        counts = (
+            batch["token_count"].to_pylist()
+            if self.text_col == "content" and "token_count" in batch.column_names
+            else None
+        )
+        mat = embed_batch(texts, dim=self.dim, tok=self.tok, max_tokens=self.max_tokens, counts=counts)
         vecs = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), type=pa.float32()), self.dim)
         return batch.append_column("vector", vecs)

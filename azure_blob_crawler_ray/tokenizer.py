@@ -23,11 +23,78 @@ punctuation run; pure trailing whitespace is one token.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List
+
+import numpy as np
 
 # Order matters: letters | up-to-3 digits | punct run, each absorbing the
 # whitespace before it; a final whitespace-only tail is its own token.
 _TOKEN_RE = re.compile(r"\s*(?:[^\W\d_]+|\d{1,3}|[^\w\s]+|_+)|\s+")
+
+# ---- vectorized exact token counting ------------------------------------
+# Tokens partition the string into maximal same-class character runs
+# (letters / digit-triples / punct / underscores, interior whitespace
+# absorbed into the following token, trailing whitespace its own token),
+# so the COUNT is pure run-length arithmetic over per-char classes:
+#   count = #L-runs + #P-runs + #U-runs + sum(ceil(len/3)) over D-runs
+#           + (1 if the string ends in whitespace)
+# This is 10-40x cheaper than the regex scan on long documents and exact
+# by construction (classes are defined by the same single-char regexes;
+# equality vs len(_TOKEN_RE.findall) is hypothesis+corpus-tested in
+# tests/test_fast_token_count.py).
+_CLS_P, _CLS_L, _CLS_D, _CLS_U, _CLS_S = 0, 1, 2, 3, 4
+_L1 = re.compile(r"[^\W\d_]\Z")
+_D1 = re.compile(r"\d\Z")
+_S1 = re.compile(r"\s\Z")
+
+
+@lru_cache(maxsize=65536)
+def _cls_char(ch: str) -> int:
+    if _L1.match(ch):
+        return _CLS_L
+    if _D1.match(ch):
+        return _CLS_D
+    if ch == "_":
+        return _CLS_U
+    if _S1.match(ch):
+        return _CLS_S
+    return _CLS_P
+
+
+_ASCII_CLS = np.array([_cls_char(chr(c)) for c in range(128)], dtype=np.uint8)
+
+# Below this length the numpy setup costs more than the regex scan.
+_FAST_MIN_CHARS = 96
+
+
+def fast_token_count(text: str) -> int:
+    """Exactly ``len(_TOKEN_RE.findall(text))``, vectorized for long text."""
+    n = len(text)
+    if n < _FAST_MIN_CHARS:
+        return len(_TOKEN_RE.findall(text))
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if codes[codes.argmax()] < 128:
+        cls = _ASCII_CLS[codes]
+    else:
+        cls = np.empty(n, dtype=np.uint8)
+        lo = codes < 128
+        cls[lo] = _ASCII_CLS[codes[lo]]
+        hi = codes[~lo]
+        uniq = np.unique(hi)
+        m = np.fromiter((_cls_char(chr(int(u))) for u in uniq), dtype=np.uint8, count=len(uniq))
+        cls[~lo] = m[np.searchsorted(uniq, hi)]
+    starts = np.r_[0, np.flatnonzero(cls[1:] != cls[:-1]) + 1]
+    run_cls = cls[starts]
+    count = int(np.count_nonzero((run_cls == _CLS_L) | (run_cls == _CLS_P) | (run_cls == _CLS_U)))
+    d_idx = np.flatnonzero(run_cls == _CLS_D)
+    if d_idx.size:
+        ends = np.r_[starts[1:], n]
+        dlen = ends[d_idx] - starts[d_idx]
+        count += int(((dlen + 2) // 3).sum())
+    if cls[-1] == _CLS_S:
+        count += 1
+    return count
 
 
 class Tokenizer:

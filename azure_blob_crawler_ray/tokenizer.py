@@ -43,10 +43,13 @@ _TOKEN_RE = re.compile(r"\s*(?:[^\W\d_]+|\d{1,3}|[^\w\s]+|_+)|\s+")
 # by construction (classes are defined by the same single-char regexes;
 # equality vs len(_TOKEN_RE.findall) is hypothesis+corpus-tested in
 # tests/test_fast_token_count.py).
-_CLS_P, _CLS_L, _CLS_D, _CLS_U, _CLS_S = 0, 1, 2, 3, 4
+# Code assignment is load-bearing: L/P/U (the classes that count one
+# token per run) are all < 3 so the run tally is ONE vector comparison.
+_CLS_P, _CLS_L, _CLS_U, _CLS_D, _CLS_S = 0, 1, 2, 3, 4
 _L1 = re.compile(r"[^\W\d_]\Z")
 _D1 = re.compile(r"\d\Z")
 _S1 = re.compile(r"\s\Z")
+_HAS_DIGIT = re.compile(r"\d")
 
 
 @lru_cache(maxsize=65536)
@@ -71,12 +74,12 @@ _FAST_MIN_CHARS = 96
 def fast_token_count(text: str) -> int:
     """Exactly ``len(_TOKEN_RE.findall(text))``, vectorized for long text."""
     n = len(text)
-    if n < _FAST_MIN_CHARS:
+    if n < _FAST_MIN_CHARS or n == 0:
         return len(_TOKEN_RE.findall(text))
-    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-    if codes[codes.argmax()] < 128:
-        cls = _ASCII_CLS[codes]
-    else:
+    try:
+        cls = _ASCII_CLS[np.frombuffer(text.encode("ascii"), dtype=np.uint8)]
+    except UnicodeEncodeError:
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
         cls = np.empty(n, dtype=np.uint8)
         lo = codes < 128
         cls[lo] = _ASCII_CLS[codes[lo]]
@@ -84,14 +87,24 @@ def fast_token_count(text: str) -> int:
         uniq = np.unique(hi)
         m = np.fromiter((_cls_char(chr(int(u))) for u in uniq), dtype=np.uint8, count=len(uniq))
         cls[~lo] = m[np.searchsorted(uniq, hi)]
-    starts = np.r_[0, np.flatnonzero(cls[1:] != cls[:-1]) + 1]
-    run_cls = cls[starts]
-    count = int(np.count_nonzero((run_cls == _CLS_L) | (run_cls == _CLS_P) | (run_cls == _CLS_U)))
-    d_idx = np.flatnonzero(run_cls == _CLS_D)
-    if d_idx.size:
-        ends = np.r_[starts[1:], n]
-        dlen = ends[d_idx] - starts[d_idx]
-        count += int(((dlen + 2) // 3).sum())
+    # a run starts where the class changes; L/P/U runs (< _CLS_D by the
+    # code assignment above) are one token each — countable with a single
+    # masked count, no index materialization
+    head, tail = cls[:-1], cls[1:]
+    count = int(np.count_nonzero((tail != head) & (tail < _CLS_D)))
+    if cls[0] < _CLS_D:
+        count += 1
+    if _HAS_DIGIT.search(text) is not None:
+        # digit runs are ceil(len/3) tokens: extract just their extents
+        d = cls == _CLS_D
+        diffs = np.diff(d.astype(np.int8))
+        d_starts = np.flatnonzero(diffs == 1) + 1
+        d_ends = np.flatnonzero(diffs == -1) + 1
+        if d[0]:
+            d_starts = np.concatenate(((0,), d_starts))
+        if d[-1]:
+            d_ends = np.concatenate((d_ends, (n,)))
+        count += int(((d_ends - d_starts + 2) // 3).sum())
     if cls[-1] == _CLS_S:
         count += 1
     return count

@@ -78,21 +78,39 @@ def chunk_embed_index_stage(
     dim: int = 64,
     concurrency: int | tuple | None = None,
     batch_size: int = 256,
+    as_actors: bool = False,
 ) -> ray.data.Dataset:
-    """chunk -> embed -> assemble fused into ONE actor pool: separate
-    pools pay two actor spin-ups and an object-store hop per execution
-    (~10 s per crawl wave at 32 CPUs, independent of doc count); the
-    fused stage composes the same per-actor state classes so semantics
-    are byte-identical (tests compare it against the staged path)."""
-    from ..stages.chunk import ChunkEmbedIndexStage
+    """chunk -> embed -> assemble fused into ONE stage: separate pools
+    pay two actor spin-ups and an object-store hop per execution (~10 s
+    per crawl wave at 32 CPUs, independent of doc count); the fused
+    stage composes the same per-actor state classes so semantics are
+    byte-identical (tests compare it against the staged path).
 
-    concurrency = concurrency or _pool_size()
+    Scheduled as a TASK pool with per-worker-process state caching, not
+    an actor pool: this stage's state (regex tokenizer + deterministic
+    embedder) builds in microseconds, so tasks reuse the already-warm
+    worker processes of the same wave instead of paying a 1->N actor
+    autoscale ramp per wave (measured: the actor form ran 46.6k docs in
+    5.4 s at 32 CPUs — ~10 core-seconds of actual compute — because the
+    tick was pool spin-up). A stage with genuinely expensive state (a
+    real tiktoken/model load) should pass ``as_actors=True``."""
+    from ..stages.chunk import make_chunk_embed_index_fn
+
+    if as_actors:
+        from ..stages.chunk import ChunkEmbedIndexStage
+
+        concurrency = concurrency or _pool_size()
+        return docs.map_batches(
+            ChunkEmbedIndexStage,
+            fn_constructor_args=(max_tokens, dim),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return docs.map_batches(
-        ChunkEmbedIndexStage,
-        fn_constructor_args=(max_tokens, dim),
+        make_chunk_embed_index_fn(max_tokens, dim),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 

@@ -87,3 +87,23 @@ class ChunkEmbedIndexStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self._assemble(self._embed(self._chunk(batch)))
+
+
+# Per-worker-process stage cache for the task-pool form of the fused
+# stage (pipelines/ingest.chunk_embed_index_stage): Ray tasks reuse warm
+# worker processes, so caching by config gives actor-style state reuse
+# without the per-wave actor-pool autoscale ramp. Safe because workers
+# are single-threaded per task and the stage holds no mutable state.
+_FUSED_CACHE: dict = {}
+
+
+def make_chunk_embed_index_fn(max_tokens: int, dim: int):
+    key = (max_tokens, dim)
+
+    def chunk_embed_index(batch: pa.Table) -> pa.Table:
+        st = _FUSED_CACHE.get(key)
+        if st is None:
+            st = _FUSED_CACHE[key] = ChunkEmbedIndexStage(max_tokens, dim)
+        return st(batch)
+
+    return chunk_embed_index

@@ -71,14 +71,17 @@ def test_zero_vector_fallback():
 
 
 def test_fused_stage_equals_staged_pipeline():
-    """chunk+embed+assemble fused into one actor pool must be
-    byte-identical to the three-stage composition."""
+    """chunk+embed+assemble fused into one task pool must be
+    byte-identical to the three-stage actor composition."""
     import pandas as pd
 
     from azure_blob_crawler_ray.pipelines.ingest import ingest
     import __ray_entry__ as entry
 
-    blobs = entry._docs_as_blobs("/root/testdata/sf0.001").limit(120)
+    # materialize: limit() on a streaming read keeps whichever blocks
+    # finish first, so without pinning the two paths could ingest
+    # different 120-row subsets
+    blobs = entry._docs_as_blobs("/root/testdata/sf0.001").limit(120).materialize()
     fused = (
         ingest(blobs, embed_dim=16, fused=True)
         .to_pandas()

@@ -582,6 +582,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "text"]), top_k=50
         )
 
+    def q_lm_perplexity(sf):
+        from azure_blob_crawler_ray.pipelines import lm
+
+        return lm.lm_perplexity(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_ccnet_buckets(sf):
+        from azure_blob_crawler_ray.pipelines import lm
+
+        return lm.ccnet_buckets(_read(sf, "documents", ["doc_id", "text"]))
+
     def q_decontaminate(sf):
         return dataprep.decontaminate(
             _read(sf, "documents", ["doc_id", "text"]), bench_below=20, ngram=20
@@ -1255,6 +1265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance": q_nation_balance,
         "events_hopping": q_events_hopping,
         "bigram_counts": q_bigram_counts,
+        "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
         "decontaminate": q_decontaminate,
         "shard_manifest": q_shard_manifest,
         "label_centroids": q_label_centroids,
@@ -1723,6 +1735,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
             FROM events CROSS JOIN (VALUES (0), (1)) offs(off)
             GROUP BY window_day ORDER BY window_day
+        """,
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM toks, UNNEST(generate_series(1, len(ws)-1)) AS t(i)
+            ),
+            refbig AS (SELECT w1, w2 FROM big WHERE doc_id % 5 = 0),
+            pairc AS (SELECT w1, w2, COUNT(*) AS c FROM refbig GROUP BY 1, 2),
+            ctxc AS (SELECT w1, COUNT(*) AS c1 FROM refbig GROUP BY 1),
+            vocab AS (
+              SELECT COUNT(DISTINCT w) + 1 AS v
+              FROM (SELECT unnest(ws) AS w FROM toks WHERE doc_id % 5 = 0)
+            )
+            SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(EXP(-AVG(LN((COALESCE(p.c, 0) + 1.0)
+                                     / (COALESCE(cx.c1, 0) + v.v)))), 4) AS ppl
+            FROM big b
+            LEFT JOIN pairc p USING (w1, w2)
+            LEFT JOIN ctxc cx USING (w1)
+            CROSS JOIN vocab v
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            big AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM toks, UNNEST(generate_series(1, len(ws)-1)) AS t(i)
+            ),
+            refbig AS (SELECT w1, w2 FROM big WHERE doc_id % 5 = 0),
+            pairc AS (SELECT w1, w2, COUNT(*) AS c FROM refbig GROUP BY 1, 2),
+            ctxc AS (SELECT w1, COUNT(*) AS c1 FROM refbig GROUP BY 1),
+            vocab AS (
+              SELECT COUNT(DISTINCT w) + 1 AS v
+              FROM (SELECT unnest(ws) AS w FROM toks WHERE doc_id % 5 = 0)
+            ),
+            ppl AS (
+              SELECT b.doc_id,
+                     ROUND(EXP(-AVG(LN((COALESCE(p.c, 0) + 1.0)
+                                       / (COALESCE(cx.c1, 0) + v.v)))), 4) AS ppl
+              FROM big b
+              LEFT JOIN pairc p USING (w1, w2)
+              LEFT JOIN ctxc cx USING (w1)
+              CROSS JOIN vocab v
+              GROUP BY b.doc_id
+            ),
+            tiled AS (
+              SELECT doc_id, ppl, NTILE(3) OVER (ORDER BY ppl, doc_id) AS bucket
+              FROM ppl
+            )
+            SELECT bucket, COUNT(*) AS n_docs, ROUND(AVG(ppl), 4) AS avg_ppl
+            FROM tiled GROUP BY bucket ORDER BY bucket
         """,
         "bigram_counts": """
             SELECT t[i] || ' ' || t[i + 1] AS bigram,

@@ -1,0 +1,86 @@
+"""CCNet-style LM perplexity scoring (pipelines/lm.py): oracle parity
+at sf0.001 (pytest replica of the driver gate) plus semantics unit
+checks on the smoothing math and the NTILE tiling."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+import __ray_entry__ as entry
+from azure_blob_crawler_ray.pipelines import lm
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ["lm_perplexity", "ccnet_buckets"])
+def test_matches_oracle(name):
+    got = _canon(entry.queries()[name](SF).to_pandas())
+    want = _canon(_duck().execute(entry.oracle_sql()[name]).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_smoothing_hand_case():
+    # reference slice = doc 0 only (ref_mod large): "a b a b c"
+    # pairs: (a,b)x2 (b,a)x1 (b,c)x1; ctx: a->2 b->2; V = 3 distinct + 1 = 4
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b a b c"},
+            {"doc_id": 1, "text": "a b z"},  # (a,b): (2+1)/(2+4); (b,z): (0+1)/(2+4)
+        ]
+    )
+    out = lm.lm_perplexity(docs, ref_mod=100).to_pandas().set_index("doc_id")
+    logp = [np.log(3 / 6), np.log(1 / 6)]
+    want1 = round(float(np.exp(-np.mean(logp))), 4)
+    assert out.loc[1, "ppl"] == want1
+    assert out.loc[1, "n_bigrams"] == 2
+    # unseen context w1 ("z" never starts a reference bigram): p = 1/V
+    docs2 = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b"},
+            {"doc_id": 1, "text": "z q"},
+        ]
+    )
+    out2 = lm.lm_perplexity(docs2, ref_mod=100).to_pandas().set_index("doc_id")
+    # V = 2 distinct + 1 = 3; p(q|z) = (0+1)/(0+3)
+    assert out2.loc[1, "ppl"] == round(float(np.exp(np.log(3.0))), 4)
+
+
+def test_short_docs_excluded():
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a b c d"},
+            {"doc_id": 1, "text": "single"},
+            {"doc_id": 2, "text": "   "},
+        ]
+    )
+    out = lm.lm_perplexity(docs, ref_mod=1).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+
+
+def test_ntile_sizes_and_order():
+    # 8 docs, ntile 3 -> sizes 3/3/2, head = lowest perplexity
+    out = lm.ccnet_buckets(
+        ray.data.read_parquet(f"{SF}/documents.parquet"), ntile=4
+    ).to_pandas()
+    n = int(out["n_docs"].sum())
+    q, r = divmod(n, 4)
+    assert out["n_docs"].tolist() == [q + 1 if i < r else q for i in range(4)]
+    assert out["avg_ppl"].is_monotonic_increasing

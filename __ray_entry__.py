@@ -592,6 +592,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lm.ccnet_buckets(_read(sf, "documents", ["doc_id", "text"]))
 
+    def q_dsir_weights(sf):
+        from azure_blob_crawler_ray.pipelines import lm
+
+        return lm.dsir_weights(_read(sf, "documents", ["doc_id", "text"]))
+
+    def q_dsir_select(sf):
+        from azure_blob_crawler_ray.pipelines import lm
+
+        return lm.dsir_select(_read(sf, "documents", ["doc_id", "text"]), k=100)
+
     def q_decontaminate(sf):
         return dataprep.decontaminate(
             _read(sf, "documents", ["doc_id", "text"]), bench_below=20, ngram=20
@@ -1267,6 +1277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": q_bigram_counts,
         "lm_perplexity": q_lm_perplexity,
         "ccnet_buckets": q_ccnet_buckets,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "decontaminate": q_decontaminate,
         "shard_manifest": q_shard_manifest,
         "label_centroids": q_label_centroids,
@@ -1793,6 +1805,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bucket, COUNT(*) AS n_docs, ROUND(AVG(ppl), 4) AS avg_ppl
             FROM tiled GROUP BY bucket ORDER BY bucket
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            uni AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            cnt AS (
+              SELECT w,
+                     SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS ct,
+                     SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS cr
+              FROM uni GROUP BY w
+            ),
+            tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) + 1 AS v FROM cnt)
+            SELECT u.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(LN(((c.ct + 1.0) / (t.nt + t.v))
+                                / ((c.cr + 1.0) / (t.nr + t.v)))), 4) AS logratio
+            FROM uni u JOIN cnt c USING (w) CROSS JOIN tot t
+            GROUP BY u.doc_id ORDER BY u.doc_id
+        """,
+        "dsir_select": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            uni AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            cnt AS (
+              SELECT w,
+                     SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS ct,
+                     SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS cr
+              FROM uni GROUP BY w
+            ),
+            tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) + 1 AS v FROM cnt),
+            scored AS (
+              SELECT u.doc_id,
+                     ROUND(AVG(LN(((c.ct + 1.0) / (t.nt + t.v))
+                                  / ((c.cr + 1.0) / (t.nr + t.v)))), 4) AS logratio
+              FROM uni u JOIN cnt c USING (w) CROSS JOIN tot t
+              GROUP BY u.doc_id
+            )
+            SELECT doc_id, logratio FROM scored
+            WHERE doc_id % 5 <> 0
+            ORDER BY logratio DESC, doc_id LIMIT 100
         """,
         "bigram_counts": """
             SELECT t[i] || ' ' || t[i + 1] AS bigram,

@@ -328,3 +328,132 @@ def ccnet_buckets(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def _unigram_counts(docs: ray.data.Dataset, ref_mod: int):
+    """One streaming pass over (doc_id, text) emitting per-block partial
+    unigram counts split into target (doc_id % ref_mod == 0) and raw
+    (everything else) columns, then one model-sized exchange.  Returns
+    (counts_df(w, ct, cr), N_target, N_raw, V) where V = distinct words
+    anywhere + 1 (the OOV slot shared by both distributions)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tgt = Counter()
+        raw = Counter()
+        for i, t in enumerate(batch["text"].to_pylist()):
+            (tgt if ids[i] % ref_mod == 0 else raw).update(_tokens(t))
+        words = sorted(set(tgt) | set(raw))
+        return pa.table(
+            {
+                "w": pa.array(words, type=pa.string()),
+                "ct": pa.array([tgt.get(w, 0) for w in words], type=pa.int64()),
+                "cr": pa.array([raw.get(w, 0) for w in words], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(
+            ray.data.aggregate.Sum("ct", alias_name="ct"),
+            ray.data.aggregate.Sum("cr", alias_name="cr"),
+        )
+    )
+    df = rows.to_pandas()
+    return df, int(df["ct"].sum()), int(df["cr"].sum()), len(df) + 1
+
+
+def dsir_weights(
+    docs: ray.data.Dataset,
+    *,
+    ref_mod: int = 5,
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """DSIR importance weights (Xie et al., 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    log-likelihood ratio between a target distribution (here the
+    deterministic reference slice ``doc_id % ref_mod == 0``) and the
+    raw-corpus distribution, over add-one-smoothed unigram features:
+
+        logratio(d) = mean_{w in d} ln( p_target(w) / p_raw(w) )
+        p_X(w) = (c_X(w) + 1) / (N_X + V)
+
+    The mean (DSIR's feature-normalized form) keeps the weight length-
+    independent.  Output (doc_id, n_tokens, logratio) for every doc
+    with at least one token; target-slice docs score too (their ratios
+    are the calibration band).  Same broadcast/working-set shape as
+    ``lm_perplexity``; SQL twin ``dsir_weights``.
+    """
+    counts_df, n_t, n_r, vocab = _unigram_counts(docs, ref_mod)
+    model_ref = ray.put((counts_df, float(n_t), float(n_r), float(vocab)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = _MODEL_CACHE.get(model_ref.hex())
+        if st is None:
+            st = _MODEL_CACHE[model_ref.hex()] = ray.get(model_ref)
+        cdf, nt, nr, v = st
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ws: list = []
+        n_tok = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = _tokens(t)
+            ws.extend(toks)
+            n_tok[i] = len(toks)
+        has = n_tok > 0
+        if not has.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "logratio": pa.array([], type=pa.float64()),
+                }
+            )
+        df = pd.DataFrame({"w": ws}).merge(cdf, on="w", how="left", copy=False)
+        ct = df["ct"].to_numpy(dtype=np.float64, na_value=0.0)
+        cr = df["cr"].to_numpy(dtype=np.float64, na_value=0.0)
+        lr = np.log(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v)))
+        ends = np.cumsum(n_tok[has])
+        sums = np.add.reduceat(lr, np.concatenate(([0], ends[:-1])))
+        out = np.round(sums / n_tok[has], round_to)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has], type=pa.int64()),
+                "n_tokens": pa.array(n_tok[has], type=pa.int64()),
+                "logratio": pa.array(out, type=pa.float64()),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
+def dsir_select(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 100,
+    ref_mod: int = 5,
+) -> ray.data.Dataset:
+    """DSIR selection: the k raw-corpus documents most target-like by
+    importance weight — ORDER BY logratio DESC, doc_id LIMIT k over the
+    non-reference slice (the reference docs are the target, selecting
+    them back would be circular).  A distributed top-k: per-block heads
+    via sort inside the scoring plan, one bounded ``limit`` pull; the
+    deterministic (logratio, doc_id) tie-break keeps the selected SET
+    engine-independent.  SQL twin ``dsir_select``."""
+    scored = dsir_weights(docs, ref_mod=ref_mod)
+
+    def raw_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % ref_mod != 0))
+
+    return (
+        scored.map_batches(raw_only, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "logratio"])
+        .sort(["logratio", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -84,3 +84,30 @@ def test_ntile_sizes_and_order():
     q, r = divmod(n, 4)
     assert out["n_docs"].tolist() == [q + 1 if i < r else q for i in range(4)]
     assert out["avg_ppl"].is_monotonic_increasing
+
+
+@pytest.mark.parametrize("name", ["dsir_weights", "dsir_select"])
+def test_dsir_matches_oracle(name):
+    got = _canon(entry.queries()[name](SF).to_pandas())
+    want = _canon(_duck().execute(entry.oracle_sql()[name]).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dsir_prefers_target_like_docs():
+    # target slice (mod 2 == 0) speaks one vocabulary, raw docs another;
+    # the raw doc borrowing the target vocabulary must outrank the rest.
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma alpha beta"},
+            {"doc_id": 2, "text": "alpha gamma beta gamma"},
+            {"doc_id": 1, "text": "alpha beta gamma"},          # target-like
+            {"doc_id": 3, "text": "zeta eta theta iota"},        # off-target
+            {"doc_id": 5, "text": "zeta eta zeta eta"},          # off-target
+        ]
+    )
+    sel = lm.dsir_select(docs, k=1, ref_mod=2).to_pandas()
+    assert sel["doc_id"].tolist() == [1]
+    w = lm.dsir_weights(docs, ref_mod=2).to_pandas().set_index("doc_id")
+    assert w.loc[1, "logratio"] > w.loc[3, "logratio"]
+    assert w.loc[1, "logratio"] > w.loc[5, "logratio"]

@@ -275,6 +275,9 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "sole_return_suppliers",
         "filtered_hybrid",
         "remove_duplicate_spans",
+        "lm_perplexity",
+        "ccnet_buckets",
+        "dsir_select",
     ]
     out = {}
     for name in names:

@@ -51,8 +51,21 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 # per-worker-process cache of deserialized broadcast models, keyed by
 # ObjectRef hex: ray.get re-deserializes object-dtype pandas frames on
-# every call, which would tax every batch of the scoring stage.
+# every call, which would tax every batch of the scoring stage.  Bounded
+# (worker processes outlive a single query): once full, the oldest
+# entry is evicted — one scoring stage only ever reuses one key.
 _MODEL_CACHE: dict = {}
+_MODEL_CACHE_MAX = 4
+
+
+def _cached_model(ref):
+    key = ref.hex()
+    st = _MODEL_CACHE.get(key)
+    if st is None:
+        if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
+        st = _MODEL_CACHE[key] = ray.get(ref)
+    return st
 
 
 def _tokens(text: str) -> list:
@@ -127,10 +140,7 @@ def train_bigram_lm(
 
 def _score_fn(model_ref, round_to: int):
     def score(batch: pa.Table) -> pa.Table:
-        st = _MODEL_CACHE.get(model_ref.hex())
-        if st is None:
-            st = _MODEL_CACHE[model_ref.hex()] = ray.get(model_ref)
-        pairs_df, ctx_df, vocab = st
+        pairs_df, ctx_df, vocab = _cached_model(model_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         w1s: list = []
         w2s: list = []
@@ -390,10 +400,7 @@ def dsir_weights(
     model_ref = ray.put((counts_df, float(n_t), float(n_r), float(vocab)))
 
     def score(batch: pa.Table) -> pa.Table:
-        st = _MODEL_CACHE.get(model_ref.hex())
-        if st is None:
-            st = _MODEL_CACHE[model_ref.hex()] = ray.get(model_ref)
-        cdf, nt, nr, v = st
+        cdf, nt, nr, v = _cached_model(model_ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         ws: list = []
         n_tok = np.zeros(len(ids), dtype=np.int64)

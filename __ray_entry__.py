@@ -602,6 +602,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lm.dsir_select(_read(sf, "documents", ["doc_id", "text"]), k=100)
 
+    def q_lexical_diversity(sf):
+        from azure_blob_crawler_ray.pipelines import lm
+
+        return lm.lexical_diversity(_read(sf, "documents", ["doc_id", "text"]))
+
     def q_decontaminate(sf):
         return dataprep.decontaminate(
             _read(sf, "documents", ["doc_id", "text"]), bench_below=20, ngram=20
@@ -1279,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "lexical_diversity": q_lexical_diversity,
         "decontaminate": q_decontaminate,
         "shard_manifest": q_shard_manifest,
         "label_centroids": q_label_centroids,
@@ -1805,6 +1811,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bucket, COUNT(*) AS n_docs, ROUND(AVG(ppl), 4) AS avg_ppl
             FROM tiled GROUP BY bucket ORDER BY bucket
+        """,
+        "lexical_diversity": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ),
+            uni AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+            tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d FROM cnt GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(t.n AS BIGINT) AS n_tokens,
+                   CAST(t.d AS BIGINT) AS n_distinct,
+                   t.d * 1.0 / t.n AS ttr,
+                   ROUND(-SUM((c.c * 1.0 / t.n) * LN(c.c * 1.0 / t.n)), 4) AS entropy
+            FROM cnt c JOIN tot t USING (doc_id)
+            GROUP BY c.doc_id, t.n, t.d ORDER BY c.doc_id
         """,
         "dsir_weights": """
             WITH toks AS (

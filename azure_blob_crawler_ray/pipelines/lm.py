@@ -464,3 +464,54 @@ def dsir_select(
         .sort(["logratio", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def lexical_diversity(
+    docs: ray.data.Dataset,
+    *,
+    round_to: int = 4,
+) -> ray.data.Dataset:
+    """Per-document lexical-diversity features: token count, distinct
+    count, type-token ratio, and Shannon entropy of the within-doc word
+    distribution (nats) — the standard diversity signals a quality
+    classifier consumes next to perplexity (low entropy = repetitive /
+    template text).  MAP-ONLY: every feature is a function of one
+    document, no exchange anywhere; same ``[a-z0-9]+`` tokenization as
+    the LM family so the DuckDB twin is exact.  Output
+    (doc_id, n_tokens, n_distinct, ttr, entropy); zero-token docs are
+    excluded (the oracle's GROUP BY drops them identically).  ttr is
+    the RAW double ratio (small-int division is bit-identical across
+    engines, while ROUND ties break differently: Python rounds
+    half-even, DuckDB half-away); entropy is rounded to ``round_to``
+    (irrational sums, tie-free)."""
+
+    def features(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_n, out_d, out_ttr, out_h = [], [], [], [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            ws = _tokens(t)
+            n = len(ws)
+            if n == 0:
+                continue
+            c = np.asarray(list(Counter(ws).values()), dtype=np.float64)
+            p = c / n
+            out_id.append(ids[i])
+            out_n.append(n)
+            out_d.append(len(c))
+            out_ttr.append(len(c) / n)
+            out_h.append(round(float(-(p * np.log(p)).sum()), round_to))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+                "n_distinct": pa.array(out_d, type=pa.int64()),
+                "ttr": pa.array(out_ttr, type=pa.float64()),
+                "entropy": pa.array(out_h, type=pa.float64()),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )

@@ -278,6 +278,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "lm_perplexity",
         "ccnet_buckets",
         "dsir_select",
+        "lexical_diversity",
     ]
     out = {}
     for name in names:

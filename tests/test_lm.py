@@ -111,3 +111,25 @@ def test_dsir_prefers_target_like_docs():
     w = lm.dsir_weights(docs, ref_mod=2).to_pandas().set_index("doc_id")
     assert w.loc[1, "logratio"] > w.loc[3, "logratio"]
     assert w.loc[1, "logratio"] > w.loc[5, "logratio"]
+
+
+def test_lexical_diversity_matches_oracle():
+    got = _canon(entry.queries()["lexical_diversity"](SF).to_pandas())
+    want = _canon(_duck().execute(entry.oracle_sql()["lexical_diversity"]).df())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lexical_diversity_hand_case():
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "a a a a"},       # ttr .25, entropy 0
+            {"doc_id": 1, "text": "a b c d"},       # ttr 1, entropy ln(4)
+            {"doc_id": 2, "text": ""},               # excluded
+        ]
+    )
+    out = lm.lexical_diversity(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "entropy"] == 0.0 and out.loc[0, "ttr"] == 0.25
+    assert out.loc[1, "ttr"] == 1.0
+    assert out.loc[1, "entropy"] == round(float(np.log(4)), 4)
+    assert 2 not in out.index

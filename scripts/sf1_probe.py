@@ -62,6 +62,8 @@ PROBES = [
     "dormant_rich_customers",
     "clicks_before_purchase",
     "pagerank",
+    "lm_perplexity",
+    "dsir_select",
 ]
 
 
@@ -91,6 +93,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1-dir", default="/tmp/sf1")
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of PROBES to run")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -118,7 +122,8 @@ def main() -> None:
     rss0_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     out: dict = {"sf": "sf1(synth 10x)", "num_cpus": args.cpus, "build_s": build_s,
                  "driver_rss_start_mb": int(rss0_mb)}
-    for name in PROBES:
+    probes = args.only.split(",") if args.only else PROBES
+    for name in probes:
         t0 = time.time()
         res = qs[name](args.sf1_dir)
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)

@@ -877,11 +877,12 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         _tick("docs_write")
 
         if cfg.emit_index:
-            # ONE fused actor pool (chunk+embed+assemble) sized to the
-            # cluster: separate pools paid two spin-ups per wave (~10 s
-            # at 32 CPUs regardless of doc count); the fetch stage is
-            # already finished (parsed is materialized), so this stage
-            # can own the whole machine.
+            # ONE fused TASK-pool stage (chunk+embed+assemble, cheap
+            # per-process state cache): separate pools paid two spin-ups
+            # per wave (~10 s at 32 CPUs regardless of doc count); the
+            # fetch stage is already finished (parsed is materialized),
+            # so this stage can own the whole machine — the pool tuple
+            # degrades to its max as the task-concurrency cap.
             pool = (1, max(8, ncpu))
             to_index = docs
             if cfg.dedup_content:

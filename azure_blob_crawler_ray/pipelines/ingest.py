@@ -107,10 +107,15 @@ def chunk_embed_index_stage(
             batch_size=batch_size,
             concurrency=concurrency,
         )
+    # Task pools take an int cap (max concurrent tasks); a (min, max)
+    # actor-pool tuple degrades to its max so callers throttling via
+    # ``concurrency`` get real throttling on this path too.
+    cap = max(concurrency) if isinstance(concurrency, tuple) else concurrency
     return docs.map_batches(
         make_chunk_embed_index_fn(max_tokens, dim),
         batch_format="pyarrow",
         batch_size=batch_size,
+        **({"concurrency": int(cap)} if cap else {}),
     )
 
 

@@ -121,20 +121,25 @@ def train_bigram_lm(
         .sum("c")
         .rename_columns({"sum(c)": "c"})
     )
-    n_model = int(pair_rows.count())
-    if n_model > max_model_rows:
-        raise ValueError(
-            f"bigram model has {n_model} rows > max_model_rows={max_model_rows}; "
-            "raise min_count (prune rare bigrams) before broadcasting"
-        )
-    pairs_df = pair_rows.to_pandas()
-    ctx_df = (
-        pairs_df.groupby("w1", sort=False, as_index=False)["c"]
-        .sum()
-        .rename(columns={"c": "c1"})
+    # Context totals are computed DISTRIBUTED from the unpruned counts
+    # (pruning must not shift the denominator), then the prune is pushed
+    # into the dataset plan BEFORE the size guard and the driver pull —
+    # so both the guard and driver memory really are O(rows after
+    # pruning) and raising min_count is an effective remedy.
+    ctx_rows = (
+        pair_rows.groupby("w1").sum("c").rename_columns({"sum(c)": "c1"})
     )
     if min_count > 1:
-        pairs_df = pairs_df[pairs_df["c"] >= min_count].reset_index(drop=True)
+        pair_rows = pair_rows.filter(expr=f"c >= {int(min_count)}")
+    n_model = int(pair_rows.count()) + int(ctx_rows.count())
+    if n_model > max_model_rows:
+        raise ValueError(
+            f"bigram model has {n_model} rows (pruned pairs + contexts) > "
+            f"max_model_rows={max_model_rows}; raise min_count (prune rare "
+            "bigrams) before broadcasting"
+        )
+    pairs_df = pair_rows.to_pandas()
+    ctx_df = ctx_rows.to_pandas()
     return pairs_df, ctx_df, n_vocab + 1
 
 
@@ -247,6 +252,18 @@ def ccnet_buckets(
         .sort(["ppl_e4", "doc_id"])
         .materialize()
     )
+    if ordered.count() == 0:
+        # empty scored set (e.g. every doc < 2 tokens): every pandas
+        # pull below would lose its columns — return typed empty
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "avg_ppl": pa.array([], type=pa.float64()),
+                }
+            )
+        )
 
     def block_summary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -329,6 +346,18 @@ def ccnet_buckets(
         .to_pandas()
         .sort_values("bucket")
     )
+    if len(agg) == 0:
+        # an empty groupby().to_pandas() loses its columns (same pitfall
+        # nation_trade_volume guards) — return a typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "avg_ppl": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     agg["avg_ppl"] = np.round(agg["sum_ppl"] / agg["n_docs"], 4)
     out = pa.table(
         {
@@ -340,12 +369,16 @@ def ccnet_buckets(
     return ray.data.from_arrow(out)
 
 
-def _unigram_counts(docs: ray.data.Dataset, ref_mod: int):
+def _unigram_counts(
+    docs: ray.data.Dataset, ref_mod: int, *, max_model_rows: int = 5_000_000
+):
     """One streaming pass over (doc_id, text) emitting per-block partial
     unigram counts split into target (doc_id % ref_mod == 0) and raw
     (everything else) columns, then one model-sized exchange.  Returns
     (counts_df(w, ct, cr), N_target, N_raw, V) where V = distinct words
-    anywhere + 1 (the OOV slot shared by both distributions)."""
+    anywhere + 1 (the OOV slot shared by both distributions).  The
+    driver pull refuses above ``max_model_rows`` (same guard as
+    ``train_bigram_lm``) instead of silently flooding the driver."""
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -371,6 +404,13 @@ def _unigram_counts(docs: ray.data.Dataset, ref_mod: int):
             ray.data.aggregate.Sum("cr", alias_name="cr"),
         )
     )
+    n_model = int(rows.count())
+    if n_model > max_model_rows:
+        raise ValueError(
+            f"unigram model has {n_model} rows > max_model_rows={max_model_rows}; "
+            "shrink the vocabulary (e.g. hash words into buckets) before "
+            "broadcasting"
+        )
     df = rows.to_pandas()
     return df, int(df["ct"].sum()), int(df["cr"].sum()), len(df) + 1
 
@@ -380,6 +420,7 @@ def dsir_weights(
     *,
     ref_mod: int = 5,
     round_to: int = 4,
+    max_model_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
     """DSIR importance weights (Xie et al., 2023, "Data Selection for
     Language Models via Importance Resampling"): per-document
@@ -396,7 +437,9 @@ def dsir_weights(
     are the calibration band).  Same broadcast/working-set shape as
     ``lm_perplexity``; SQL twin ``dsir_weights``.
     """
-    counts_df, n_t, n_r, vocab = _unigram_counts(docs, ref_mod)
+    counts_df, n_t, n_r, vocab = _unigram_counts(
+        docs, ref_mod, max_model_rows=max_model_rows
+    )
     model_ref = ray.put((counts_df, float(n_t), float(n_r), float(vocab)))
 
     def score(batch: pa.Table) -> pa.Table:

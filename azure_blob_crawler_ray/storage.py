@@ -197,15 +197,23 @@ def compact_shards(
     ``part-c-NNNNN.parquet``; a shard already in compacted form is
     skipped, so re-running is free.
 
-    Crash safety without a rename window: new files land beside the old
-    ones first, the old ones are deleted only after every new file of
-    that shard is on disk.  The invariant a (re)run repairs from is
-    "compacted shards contain ONLY part-c files": a crash mid-write or
-    mid-delete leaves BOTH kinds present, which the next run detects,
-    cleans (drops the part-c leftovers — the originals are still the
-    source of truth) and redoes.  Readers between runs may see the
-    mixed state, so compaction assumes no concurrent readers — it is a
-    maintenance pass, like VACUUM.
+    Crash safety via a per-shard commit marker: new ``part-c`` files
+    land beside the old ones first, then a ``_COMPACTED`` sentinel is
+    fsynced into the shard dir, and only then are the originals
+    deleted (marker last of all).  Recovery on the next run is
+    two-sided:
+
+    * marker ABSENT + both kinds present  -> crashed mid-write; the
+      originals are the source of truth: drop the part-c leftovers
+      and redo.
+    * marker PRESENT -> every part-c file was durable before the
+      marker, so part-c is the source of truth even if some originals
+      were already deleted: finish deleting originals, remove the
+      marker, done (no rewrite).
+
+    Readers between runs may see the mixed state, so compaction
+    assumes no concurrent readers — it is a maintenance pass, like
+    VACUUM.
 
     One Ray task per shard (a shard fits a worker by ``write_sharded``
     construction); returns {"compacted": n, "skipped": n,
@@ -222,31 +230,54 @@ def compact_shards(
     def compact_one(batch: pa.Table) -> pa.Table:
         out = {"compacted": [], "skipped": [], "before": [], "after": []}
         for d in batch["dir"].to_pylist():
+            marker = os.path.join(d, "_COMPACTED")
             parts = sorted(
                 f for f in os.listdir(d) if f.endswith(".parquet")
             )
             old = [f for f in parts if not f.startswith("part-c-")]
             new = [f for f in parts if f.startswith("part-c-")]
+            if os.path.exists(marker):
+                # Crashed mid-delete of a COMMITTED compaction: every
+                # part-c file was durable before the marker, so part-c
+                # wins — finish deleting originals, clear the marker.
+                for f in old:
+                    os.remove(os.path.join(d, f))
+                os.remove(marker)
+                out["compacted"].append(0)
+                out["skipped"].append(1)
+                out["before"].append(len(old) + len(new))
+                out["after"].append(len(new))
+                continue
             if not old:  # already compacted (possibly by a prior run)
                 out["compacted"].append(0)
                 out["skipped"].append(1)
                 out["before"].append(len(new))
                 out["after"].append(len(new))
                 continue
-            for f in new:  # crashed prior attempt: originals win, redo
+            for f in new:  # crashed mid-write (no marker): originals win, redo
                 os.remove(os.path.join(d, f))
             t = pq.read_table([os.path.join(d, f) for f in old])
             n_files = max(1, -(-t.num_rows // target_rows))
             per = -(-t.num_rows // n_files) if t.num_rows else 1
             written = 0
             for i in range(n_files):
-                pq.write_table(
-                    t.slice(i * per, per),
-                    os.path.join(d, f"part-c-{i:05d}.parquet"),
-                )
+                path = os.path.join(d, f"part-c-{i:05d}.parquet")
+                pq.write_table(t.slice(i * per, per), path)
+                fd = os.open(path, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
                 written += 1
-            for f in old:  # all new files durable -> originals go
+            # Commit point: fsynced marker makes part-c authoritative.
+            mfd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+            try:
+                os.fsync(mfd)
+            finally:
+                os.close(mfd)
+            for f in old:  # committed -> originals go
                 os.remove(os.path.join(d, f))
+            os.remove(marker)
             out["compacted"].append(1)
             out["skipped"].append(0)
             out["before"].append(len(old))

@@ -133,3 +133,47 @@ def test_lexical_diversity_hand_case():
     assert out.loc[1, "ttr"] == 1.0
     assert out.loc[1, "entropy"] == round(float(np.log(4)), 4)
     assert 2 not in out.index
+
+
+def test_bigram_guard_refuses_and_min_count_is_effective():
+    # Tiny corpus with one repeated bigram and many singletons: with
+    # min_count=1 the model exceeds a tiny max_model_rows and refuses;
+    # raising min_count (the remedy the error names) prunes BEFORE the
+    # guard, so the same cap now passes — the prune is in the plan, not
+    # post-pull.
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"common pair common pair unique{i} tail{i}"}
+         for i in range(6)]
+    )
+    with pytest.raises(ValueError, match="max_model_rows"):
+        lm.train_bigram_lm(docs, min_count=1, max_model_rows=10)
+    pairs_df, ctx_df, vocab = lm.train_bigram_lm(
+        docs, min_count=5, max_model_rows=10
+    )
+    # only bigrams seen >= 5 times survive the pruned pull
+    assert (pairs_df["c"] >= 5).all() and len(pairs_df) > 0
+    # ctx totals come from UNPRUNED counts: 'common'-> appears as w1
+    # twice per doc (common pair, common pair) = 12 total
+    c1 = dict(zip(ctx_df["w1"], ctx_df["c1"]))
+    assert c1["common"] == 12
+
+
+def test_dsir_unigram_guard_refuses():
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"w{i} w{i+1} w{i+2}"} for i in range(20)]
+    )
+    with pytest.raises(ValueError, match="max_model_rows"):
+        lm.dsir_weights(docs, max_model_rows=3)
+
+
+def test_ccnet_buckets_empty_scored_set():
+    # every document has < 2 tokens -> zero scored rows; the bucket
+    # aggregate must return a typed empty table, not KeyError
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "solo"} for i in range(4)]
+    )
+    out_ds = lm.ccnet_buckets(docs)
+    # (Ray's to_pandas drops columns on an empty dataset, so assert the
+    # Dataset schema — the pipeline contract — not the pandas shape.)
+    assert out_ds.schema().names == ["bucket", "n_docs", "avg_ppl"]
+    assert out_ds.count() == 0

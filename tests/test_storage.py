@@ -163,3 +163,60 @@ def test_compact_shards_roundtrip_and_crash_repair(tmp_path):
         drop=True
     ).equals(before)
     shutil.rmtree(out)
+
+
+def test_compact_shards_mid_delete_crash_keeps_committed_part_c(tmp_path):
+    """The OTHER crash window: every part-c file was durable and the
+    _COMPACTED marker was written, then the process died while deleting
+    the originals.  Recovery must keep part-c (the committed set) and
+    finish deleting the partially-removed originals — rewriting from
+    the partial originals would silently drop rows."""
+    import shutil
+
+    import numpy as np
+
+    from azure_blob_crawler_ray.storage import (
+        compact_shards,
+        read_sharded,
+        shard_path,
+        write_sharded,
+    )
+
+    out = str(tmp_path / "tbl")
+    n, k = 2000, 2
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "shard": ids % k, "v": ids * 7})
+    write_sharded(ray.data.from_arrow(t).repartition(8), out,
+                  shard_col="shard", num_shards=k)
+    before = read_sharded(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # Run a real compaction of shard 0 up to the commit point by hand:
+    # write the part-c set + marker, then delete only SOME originals
+    # (simulating a crash mid-delete).
+    import pyarrow.parquet as pq
+
+    victim = shard_path(out, 0)
+    olds = sorted(f for f in os.listdir(victim)
+                  if f.endswith(".parquet") and not f.startswith("part-c-"))
+    full = pq.read_table([os.path.join(victim, f) for f in olds])
+    pq.write_table(full, os.path.join(victim, "part-c-00000.parquet"))
+    with open(os.path.join(victim, "_COMPACTED"), "w"):
+        pass
+    # crash mid-delete: half the originals are already gone
+    for f in olds[: len(olds) // 2]:
+        os.remove(os.path.join(victim, f))
+
+    res = compact_shards(out, target_rows=10_000)
+    # shard 0 was committed -> finished (skipped, no rewrite); shard 1 compacted
+    assert res["skipped"] == 1 and res["compacted"] == 1
+
+    after = read_sharded(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert after.equals(before)  # zero rows lost
+    # shard 0 now contains ONLY the committed part-c file, marker gone
+    left = sorted(os.listdir(victim))
+    assert left == ["_SUCCESS", "part-c-00000.parquet"]
+
+    # idempotent after recovery
+    res2 = compact_shards(out, target_rows=10_000)
+    assert res2["compacted"] == 0 and res2["skipped"] == k
+    shutil.rmtree(out)

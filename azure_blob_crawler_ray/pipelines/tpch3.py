@@ -328,18 +328,24 @@ def market_share(
     date_from: str = "1996-01-01",
     date_to: str = "1998-01-01",
     num_buckets: int = 64,
+    max_broadcast_rows: int = 30_000_000,
 ) -> ray.data.Dataset:
     """TPC-H Q8 shape: one nation's share of the revenue for one part
     type sold into one region, by order year.
 
     Scale shape: the type filter is broadcast as a DENSE boolean
     positional array over partkey (the Q19 trick — one bit per part, so
-    the filter is a numpy gather with zero join); supplier->nation is a
-    broadcast map that tags each row with an ``is_nat`` flag which RIDES
-    THROUGH the join, so share needs no second pass; orders are
-    year-filtered and the region-filtered customers Bloom-prune them;
-    the final exchange is a #years-row groupby.  Share divides exact
-    int64 cents in float64 — bit-identical to the SQL oracle."""
+    the filter is a numpy gather with zero join) WHEN the part table
+    fits a driver broadcast (<= ``max_broadcast_rows``); above that —
+    part is fact/30, so at 100 TB it does not — the type filter becomes
+    a distributed semi-join via ``bucket_hash_join`` on partkey, same
+    output bit-for-bit (forced-low-threshold pytest asserts equality);
+    supplier->nation is a broadcast map that tags each row with an
+    ``is_nat`` flag which RIDES THROUGH the join, so share needs no
+    second pass; orders are year-filtered and the region-filtered
+    customers Bloom-prune them; the final exchange is a #years-row
+    groupby.  Share divides exact int64 cents in float64 —
+    bit-identical to the SQL oracle."""
     import pandas as _pd
 
     nat = nation.select_columns(["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
@@ -351,10 +357,14 @@ def market_share(
     skey = np.int64(_nation_key(nation, supp_nation))
     smap = _supplier_nation_map(supplier)
 
-    pt = part.select_columns(["p_partkey", "p_type"]).to_pandas()
-    pk = pt["p_partkey"].astype(np.int64).to_numpy()
-    type_mask = np.zeros(int(pk.max()) + 1, dtype=bool)
-    type_mask[pk[(pt["p_type"] == part_type).to_numpy()]] = True
+    broadcast_parts = int(part.count()) <= max_broadcast_rows
+    if broadcast_parts:
+        pt = part.select_columns(["p_partkey", "p_type"]).to_pandas()
+        pk = pt["p_partkey"].astype(np.int64).to_numpy()
+        type_mask = np.zeros(int(pk.max()) + 1, dtype=bool)
+        type_mask[pk[(pt["p_type"] == part_type).to_numpy()]] = True
+    else:
+        type_mask = None
     bc = ray.put((region_nset, skey, smap, type_mask))
     lo, hi = _ts(date_from), _ts(date_to)
 
@@ -412,9 +422,12 @@ def market_share(
         _, sk, sm, mask = ray.get(bc)
         bf = ray.get(obloom_ref)
         p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.zeros(len(p), dtype=bool)
-        in_range = p < len(mask)
-        keep[in_range] = mask[p[in_range]]
+        if mask is not None:
+            keep = np.zeros(len(p), dtype=bool)
+            in_range = p < len(mask)
+            keep[in_range] = mask[p[in_range]]
+        else:  # join path: the part filter happens in the semi-join below
+            keep = np.ones(len(p), dtype=bool)
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep &= bf.contains_many(ok.astype(np.uint64))
         t = batch.filter(pa.array(keep))
@@ -423,17 +436,42 @@ def market_share(
         )
         is_nat = (sup.map(sm).to_numpy() == sk).astype(np.int64)
         cents = _cents(t["l_extendedprice"], t["l_discount"])
-        return pa.table(
-            {
-                "l_orderkey": pa.array(ok[keep]),
-                "cents": cents,
-                "nat_cents": pc.multiply(cents, pa.array(is_nat)),
-            }
-        )
+        cols = {
+            "l_orderkey": pa.array(ok[keep]),
+            "cents": cents,
+            "nat_cents": pc.multiply(cents, pa.array(is_nat)),
+        }
+        if mask is None:
+            cols["l_partkey"] = pa.array(p[keep])
+        return pa.table(cols)
 
     li = lineitem.select_columns(
         ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+    if not broadcast_parts:
+        def part_keys_proj(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["p_type"], part_type))
+            return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64())})
+
+        part_keys = part.select_columns(["p_partkey", "p_type"]).map_batches(
+            part_keys_proj, batch_format="pyarrow", zero_copy_batch=True
+        )
+        li = bucket_hash_join(
+            li,
+            part_keys,
+            left_on="l_partkey",
+            right_on="p_partkey",
+            left_schema=pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("cents", pa.int64()),
+                    ("nat_cents", pa.int64()),
+                    ("l_partkey", pa.int64()),
+                ]
+            ),
+            right_schema=pa.schema([("p_partkey", pa.int64())]),
+            num_buckets=num_buckets,
+        ).select_columns(["l_orderkey", "cents", "nat_cents"])
     joined = bucket_hash_join(
         li,
         ord_cust.select_columns(["o_orderkey", "o_year"]),
@@ -483,6 +521,7 @@ def product_profit(
     *,
     name_contains: str = "red",
     num_buckets: int = 64,
+    max_broadcast_rows: int = 30_000_000,
 ) -> ray.data.Dataset:
     """TPC-H Q9 shape: profit per supplier nation per order year for
     parts whose name matches.  No partsupp table exists, so unit cost
@@ -492,50 +531,120 @@ def product_profit(
 
     Scale shape: the name-filtered part dimension is broadcast as TWO
     dense positional arrays (match bit + unit-cost cents) so the cost
-    join is a numpy gather; supplier->nation broadcast map; orders are
-    Bloom-pruned by surviving lineitem orderkeys, then ONE
-    ``bucket_hash_join`` attaches the year; final exchange is a
-    (#nations x #years)-row groupby."""
+    join is a numpy gather — WHEN part fits a driver broadcast (<=
+    ``max_broadcast_rows``); above that (part is fact/30 — at 100 TB
+    the dense array does not fit) the cost lookup becomes a distributed
+    ``bucket_hash_join`` on partkey with identical output
+    (forced-low-threshold pytest asserts equality); supplier->nation
+    broadcast map; orders are Bloom-pruned by surviving lineitem
+    orderkeys, then ONE ``bucket_hash_join`` attaches the year; final
+    exchange is a (#nations x #years)-row groupby."""
     nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
     nname = pd.Series(
         nat["n_name"].to_numpy(), index=nat["n_nationkey"].astype(np.int64)
     )
     smap = _supplier_nation_map(supplier)
-    pt = part.select_columns(["p_partkey", "p_name", "p_retailprice"]).to_pandas()
-    pk = pt["p_partkey"].astype(np.int64).to_numpy()
-    hit = pt["p_name"].str.contains(name_contains, regex=False).to_numpy()
-    size = int(pk.max()) + 1
-    mask = np.zeros(size, dtype=bool)
-    mask[pk[hit]] = True
-    cost = np.zeros(size, dtype=np.int64)
-    cost[pk] = np.floor(pt["p_retailprice"].to_numpy() * 10.0 + 0.5).astype(np.int64)
-    bc = ray.put((smap, mask, cost))
+    broadcast_parts = int(part.count()) <= max_broadcast_rows
+    if broadcast_parts:
+        pt = part.select_columns(["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+        pk = pt["p_partkey"].astype(np.int64).to_numpy()
+        hit = pt["p_name"].str.contains(name_contains, regex=False).to_numpy()
+        size = int(pk.max()) + 1
+        mask = np.zeros(size, dtype=bool)
+        mask[pk[hit]] = True
+        cost = np.zeros(size, dtype=np.int64)
+        cost[pk] = np.floor(pt["p_retailprice"].to_numpy() * 10.0 + 0.5).astype(
+            np.int64
+        )
+        bc = ray.put((smap, mask, cost))
+    else:
+        bc = ray.put((smap, None, None))
 
     def li_proj(batch: pa.Table) -> pa.Table:
         sm, msk, cst = ray.get(bc)
         p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.zeros(len(p), dtype=bool)
-        in_range = p < len(msk)
-        keep[in_range] = msk[p[in_range]]
-        t = batch.filter(pa.array(keep))
-        p = p[keep]
+        if msk is not None:
+            keep = np.zeros(len(p), dtype=bool)
+            in_range = p < len(msk)
+            keep[in_range] = msk[p[in_range]]
+            t = batch.filter(pa.array(keep))
+            p = p[keep]
+        else:  # join path: filter + cost attach happen in the join below
+            t = batch
         qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
         rev = _cents(t["l_extendedprice"], t["l_discount"]).to_numpy(
             zero_copy_only=False
         )
         sup = pd.Series(t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
         s_nat = sup.map(sm).to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
-                "s_nat": pa.array(s_nat),
-                "amount": pa.array(rev - cst[p] * qty),
-            }
-        )
+        cols = {
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "s_nat": pa.array(s_nat),
+        }
+        if msk is not None:
+            cols["amount"] = pa.array(rev - cst[p] * qty)
+        else:
+            cols["l_partkey"] = pa.array(p)
+            cols["qty"] = pa.array(qty)
+            cols["rev"] = pa.array(rev)
+        return pa.table(cols)
 
     li = lineitem.select_columns(
         ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"]
     ).map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+    if not broadcast_parts:
+        def part_cost_proj(batch: pa.Table) -> pa.Table:
+            t = batch.filter(
+                pc.match_substring(batch["p_name"], name_contains)
+            )
+            cost10 = np.floor(
+                t["p_retailprice"].to_numpy(zero_copy_only=False) * 10.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                    "cost10": pa.array(cost10),
+                }
+            )
+
+        part_cost = part.select_columns(
+            ["p_partkey", "p_name", "p_retailprice"]
+        ).map_batches(part_cost_proj, batch_format="pyarrow", zero_copy_batch=True)
+        with_cost = bucket_hash_join(
+            li,
+            part_cost,
+            left_on="l_partkey",
+            right_on="p_partkey",
+            left_schema=pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("s_nat", pa.int64()),
+                    ("l_partkey", pa.int64()),
+                    ("qty", pa.int64()),
+                    ("rev", pa.int64()),
+                ]
+            ),
+            right_schema=pa.schema(
+                [("p_partkey", pa.int64()), ("cost10", pa.int64())]
+            ),
+            num_buckets=num_buckets,
+        )
+
+        def amount_proj(batch: pa.Table) -> pa.Table:
+            qty = batch["qty"].to_numpy(zero_copy_only=False)
+            rev = batch["rev"].to_numpy(zero_copy_only=False)
+            cst = batch["cost10"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"],
+                    "s_nat": batch["s_nat"],
+                    "amount": pa.array(rev - cst * qty),
+                }
+            )
+
+        li = with_cost.map_batches(
+            amount_proj, batch_format="pyarrow", zero_copy_batch=True
+        )
     obloom_ref = ray.put(
         bloom_of_dataset(li.select_columns(["l_orderkey"]), "l_orderkey")
     )
@@ -769,6 +878,123 @@ def returnflag_priority_counts(
     )
 
 
+def _supplier_part_counts_joined(
+    lineitem: ray.data.Dataset,
+    part: ray.data.Dataset,
+    bad: np.ndarray,
+    *,
+    exclude_brand: str,
+    exclude_type: str,
+    sizes: List[int],
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """``supplier_part_counts`` scale path (part > max_broadcast_rows):
+    the part attributes attach via a distributed ``bucket_hash_join`` on
+    partkey instead of a driver-built dense positional array.  Same
+    suppkey-bucket exact-distinct downstream, with the string attributes
+    riding through the join instead of dictionary codes."""
+    bad_ref = ray.put(np.asarray(bad, dtype=np.int64))
+
+    def pair_proj(batch: pa.Table) -> pa.Table:
+        badk = ray.get(bad_ref)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(s, badk)
+        t = pa.table(
+            {"l_partkey": pa.array(p[keep]), "l_suppkey": pa.array(s[keep])}
+        )
+        # map-side dedup shrinks the join input; exactness comes from
+        # the bucket-side dedup below
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = lineitem.select_columns(["l_partkey", "l_suppkey"]).map_batches(
+        pair_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    size_set = pa.array(np.asarray(sizes, dtype=np.int64))
+
+    def part_proj(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.not_equal(batch["p_brand"], exclude_brand),
+                pc.not_equal(batch["p_type"], exclude_type),
+            ),
+            pc.is_in(pc.cast(batch["p_size"], pa.int64()), value_set=size_set),
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "p_brand": t["p_brand"],
+                "p_type": t["p_type"],
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+            }
+        )
+
+    part_attrs = part.select_columns(
+        ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(part_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = bucket_hash_join(
+        pairs,
+        part_attrs,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int64()),
+            ]
+        ),
+        num_buckets=num_buckets,
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.append_column("bucket", pa.array(_bucket_of(s, num_buckets)))
+        return t.select(
+            ["bucket", "l_suppkey", "p_brand", "p_type", "p_size"]
+        ).group_by(["bucket", "l_suppkey", "p_brand", "p_type", "p_size"]).aggregate([])
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_suppkey", "p_brand", "p_type", "p_size"])
+        g = (
+            d.groupby(["p_brand", "p_type", "p_size"], sort=False)["l_suppkey"]
+            .nunique()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "p_type": batch["p_type"],
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+                "supplier_cnt": pc.cast(batch["sum(cnt)"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pandas")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("cnt"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            descending=[True, False, False, False],
+        )
+    )
+
+
 def supplier_part_counts(
     lineitem: ray.data.Dataset,
     part: ray.data.Dataset,
@@ -778,6 +1004,7 @@ def supplier_part_counts(
     exclude_type: str = "PROMO",
     sizes: List[int] = (1, 4, 9, 14, 19, 23, 36, 45),
     num_buckets: int = 64,
+    max_broadcast_rows: int = 30_000_000,
 ) -> ray.data.Dataset:
     """TPC-H Q16 shape: how many DISTINCT suppliers ship each surviving
     (brand, type, size) combination, excluding complaint suppliers (no
@@ -787,12 +1014,30 @@ def supplier_part_counts(
 
     Scale shape: part attributes broadcast as dense positional arrays
     (brand/type dictionary codes + size + survive-bit) so the filter and
-    the group key attach map-side with zero join; excluded suppliers
-    broadcast as a sorted key array; pairs dedupe per batch, then ONE
-    exchange on a coarse SUPPKEY bucket — a supplier lives in exactly
-    one bucket, so per-bucket distinct counts are disjoint and the final
-    #combo-row groupby just ADDS them (exact distinct with no global
-    dedup pass)."""
+    the group key attach map-side with zero join — WHEN part fits a
+    driver broadcast (<= ``max_broadcast_rows``); above that (part is
+    fact/30, the dense arrays don't fit at 100 TB) the attribute attach
+    becomes a distributed ``bucket_hash_join`` on partkey with
+    identical output (forced-low-threshold pytest asserts equality);
+    excluded suppliers broadcast as a sorted key array; pairs dedupe
+    per batch, then ONE exchange on a coarse SUPPKEY bucket — a
+    supplier lives in exactly one bucket, so per-bucket distinct counts
+    are disjoint and the final #combo-row groupby just ADDS them (exact
+    distinct with no global dedup pass)."""
+    sup = supplier.select_columns(["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(
+        sup[sup["s_acctbal"] < 0]["s_suppkey"].astype(np.int64).to_numpy()
+    )
+    if int(part.count()) > max_broadcast_rows:
+        return _supplier_part_counts_joined(
+            lineitem,
+            part,
+            bad,
+            exclude_brand=exclude_brand,
+            exclude_type=exclude_type,
+            sizes=sizes,
+            num_buckets=num_buckets,
+        )
     pt = part.select_columns(["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
     pk = pt["p_partkey"].astype(np.int64).to_numpy()
     size_arr = pt["p_size"].astype(np.int64).to_numpy()
@@ -814,11 +1059,6 @@ def supplier_part_counts(
     size_of[pk] = size_arr
     brand_names = list(brands.cat.categories)
     type_names = list(types.cat.categories)
-
-    sup = supplier.select_columns(["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = np.sort(
-        sup[sup["s_acctbal"] < 0]["s_suppkey"].astype(np.int64).to_numpy()
-    )
     bc = ray.put((survive, brand_code, type_code, size_of, bad))
 
     def pair_proj(batch: pa.Table) -> pa.Table:

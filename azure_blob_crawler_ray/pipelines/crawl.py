@@ -113,6 +113,8 @@ def _tag_frontier(robots: Dict[str, dict], num_sched_shards: int):
             "blocked", pa.array(blocked)
         ).append_column(
             "sched_shard", pa.array((hh % np.uint64(num_sched_shards)).astype(np.int32))
+        ).append_column(
+            "host_hash", pa.array(hh)
         )
 
     return fn
@@ -131,11 +133,22 @@ def _head_per_host(t: pa.Table, cap: int) -> pa.Table:
     """Keep the first ``cap`` rows per host of an (already canonically
     sorted) table — the groupby(host).head(cap) shape without a pandas
     round-trip: dictionary-encode hosts, stable-sort positions by code,
-    rank within each run, scatter the ranks back."""
-    host = t["host"]
-    if isinstance(host, pa.ChunkedArray):
-        host = host.combine_chunks()
-    codes = host.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    rank within each run, scatter the ranks back.  Works on the narrow
+    int64 ``host_hash`` column when present (the narrow-exchange cap
+    path never ships the host string)."""
+    if "host_hash" in t.column_names and "host" not in t.column_names:
+        hh = t["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        _, codes = np.unique(hh, return_inverse=True)
+        codes = codes.astype(np.int64)
+    else:
+        host = t["host"]
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        codes = (
+            host.dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
     n = len(codes)
     pos = np.arange(n, dtype=np.int64)
     ord2 = np.lexsort((pos, codes))
@@ -186,6 +199,25 @@ def _admit_router(actors: List, wave: int):
             .append_column(
                 "wave", pa.array(np.full(t.num_rows, wave, dtype=np.int32))
             )
+        )
+
+    return fn
+
+
+def _admit_router_hashed(actors: List, wave: int):
+    """Narrow-exchange form of ``_admit_router``: the group rows carry
+    ``host_hash`` (int64) instead of the host string; the actor maps
+    hashes back to names against its robots vocabulary, so the admission
+    decisions — and the crawl digests — are byte-identical to the string
+    path (``test_crawl_conformance``)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _sort_canonical_arrow(t)
+        shard = int(t["sched_shard"][0].as_py())
+        hh = t["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dec = ray.get(actors[shard].admit_hashed.remote(hh, wave))
+        return t.append_column("admit", pa.array(dec["admit"])).append_column(
+            "fetch_ms", pa.array(dec["fetch_ms"], type=pa.int64())
         )
 
     return fn
@@ -698,7 +730,10 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         frontier = read_table(os.path.join(wdir, "frontier"))
         start_wave = last_ok + 1
     else:
-        frontier = _seed_frontier(cfg, robots)
+        # one-time split of the (single-block) seed table so wave 0's map
+        # stages have width; later waves inherit the checkpoint's natural
+        # multi-file layout, so the per-wave repartition is gone
+        frontier = _seed_frontier(cfg, robots).repartition(shuffle_width)
         # seeds enter the seen set before wave 0 (same as the oracle)
         uh = frontier.select_columns(["url_hash"]).to_pandas()["url_hash"].to_numpy().astype(np.uint64)
         sh = (uh % np.uint64(cfg.num_seen_shards)).astype(np.int64)
@@ -727,9 +762,13 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # robots filter fused INTO the tag execution (blocked rows are
         # never used downstream); the blocked count then falls out of the
         # materialized row count — no separate filter+count execution.
+        # NO wave-start repartition: the frontier's natural block layout
+        # (seed: pre-split once at run start; checkpoints: ~#blocks
+        # parquet files) already gives the map stages width — the old
+        # repartition(shuffle_width) was one full WIDE all-to-all per
+        # wave over every url/host string.
         unblocked = (
-            frontier.repartition(shuffle_width)
-            .map_batches(
+            frontier.map_batches(
                 _tag_frontier(robots, cfg.num_sched_shards),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -739,21 +778,33 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             .materialize()
         )
         m["robots_blocked"] = m["frontier"] - unblocked.count()
+        m["frontier_bytes"] = int(unblocked.size_bytes() or 0)
         _tick("tag")
 
         # exact per-host top-cap, skew-safe: local per-block combiner
         # prunes hot hosts to <= cap rows/block, then ONE groupby(host)
         # applies the global cap (same result as the salted two-phase
-        # variant, one less shuffle)
+        # variant, one less shuffle).
+        # NARROW exchange: only (url_hash, host_hash, priority,
+        # discovered_at, sched_shard) — ~32 B/row — cross the cap and
+        # admission shuffles; url/host/depth/attempts re-attach map-side
+        # post-admission from the materialized frontier via the
+        # budget-bounded admitted-hash broadcast.
         cap = cfg.max_fetches_per_host_per_wave
+        narrow = unblocked.select_columns(
+            ["url_hash", "host_hash", "priority", "discovered_at", "sched_shard"]
+        )
         kept = (
-            unblocked.map_batches(
+            narrow.map_batches(
                 _local_host_cap(cap), batch_format="pyarrow", zero_copy_batch=True
             )
             .groupby("sched_shard")
             .map_groups(_shard_host_cap(cap), batch_format="pyarrow")
             .materialize()
         )
+        m["xchg_cap_rows"] = kept.count()
+        m["xchg_cap_bytes"] = int(kept.size_bytes() or 0)
+        _tick("cap")
 
         # global budget WITHOUT a global sort OR a budget-sized driver
         # structure: distributed selection of the budget-th canonical key
@@ -768,19 +819,46 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             )
         else:
             cand = kept
-        # admit -> fetch -> parse in ONE streaming execution: the admit
-        # groupby feeds the fetch fan-out directly (safe under task
-        # retries — the politeness actors replay idempotently), and the
-        # admitted-hash set for the deferred anti-join is derived from
-        # the materialized parse output (every admitted row survives
-        # fetch+parse; failures carry a status, they are not dropped).
         from ..sources.fetch import make_fetcher
 
-        admitted = (
+        # admission runs over the narrow rows (one actor call per shard,
+        # politeness replay keeps task retries idempotent); the admitted
+        # (url_hash, fetch_ms) pairs — bounded by the wave budget, the
+        # same bound the deferred anti-join broadcast always had — come
+        # back to the driver once and broadcast to re-attach the wide
+        # columns map-side.
+        adm_tbl = (
             cand.groupby("sched_shard")
-            .map_groups(_admit_router(sched, wave), batch_format="pyarrow")
+            .map_groups(_admit_router_hashed(sched, wave), batch_format="pyarrow")
             .filter(expr="admit == True")
-            .drop_columns(["admit", "sched_shard"])
+            .select_columns(["url_hash", "fetch_ms"])
+            .to_pandas()
+        )
+        adm_h = adm_tbl["url_hash"].to_numpy().astype(np.uint64)
+        adm_f = adm_tbl["fetch_ms"].to_numpy().astype(np.int64)
+        _o = np.argsort(adm_h)
+        adm_ref = ray.put((adm_h[_o], adm_f[_o]))
+        _tick("admit")
+
+        def _attach_admitted(batch: pa.Table, _ref=adm_ref, _w=wave) -> pa.Table:
+            hs, fms = ray.get(_ref)
+            uh_ = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(hs):
+                pos = np.clip(np.searchsorted(hs, uh_), 0, len(hs) - 1)
+                hit = hs[pos] == uh_
+            else:
+                pos = np.zeros(len(uh_), dtype=np.int64)
+                hit = np.zeros(len(uh_), dtype=bool)
+            t = batch.filter(pa.array(hit))
+            f = fms[pos[hit]] if len(hs) else np.zeros(0, dtype=np.int64)
+            return t.append_column(
+                "fetch_ms", pa.array(f, type=pa.int64())
+            ).append_column(
+                "wave", pa.array(np.full(t.num_rows, _w, dtype=np.int32))
+            )
+
+        admitted = unblocked.drop_columns(["sched_shard", "host_hash"]).map_batches(
+            _attach_admitted, batch_format="pyarrow"
         )
         fetched = admitted.repartition(compute_blocks).map_batches(
             make_fetcher(cfg),
@@ -803,23 +881,15 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         m["admitted"] = parsed.count()  # metadata count on materialized
         _tick("admit_fetch_parse")
 
-        # deferred = frontier-minus-admitted (broadcast anti-join on hash)
-        adm_ref = ray.put(
-            np.sort(
-                parsed.select_columns(["url_hash"])
-                .to_pandas()["url_hash"]
-                .to_numpy()
-                .astype(np.uint64)
-            )
-        )
-
+        # deferred = frontier-minus-admitted (broadcast anti-join on hash,
+        # reusing the admission broadcast — no second driver pull)
         def _drop_admitted(batch: pa.Table, _ref=adm_ref) -> pa.Table:
-            hs = ray.get(_ref)
+            hs, _ = ray.get(_ref)
             uh_ = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
             mask = ~np.isin(uh_, hs)
             return batch.filter(pa.array(mask))
 
-        deferred = unblocked.drop_columns(["sched_shard"]).map_batches(
+        deferred = unblocked.drop_columns(["sched_shard", "host_hash"]).map_batches(
             _drop_admitted, batch_format="pyarrow"
         )
 
@@ -831,14 +901,28 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # consume it) are on — at crawl scale derivable data is re-derived,
         # not stored twice.
         drop_cols = ["links"] if cfg.emit_index else ["links", "full_content"]
-        docs = parsed.drop_columns(drop_cols)
+        maxa = cfg.max_fetch_attempts - 1
+
+        def _flag_dead(batch: pa.Table, _maxa=maxa) -> pa.Table:
+            status = batch["status"].to_numpy(zero_copy_only=False)
+            attempts = batch["attempts"].to_numpy(zero_copy_only=False)
+            failed = (status != 200) & (status != 301)
+            dead_ = failed & ((status != 503) | (attempts >= _maxa))
+            return batch.append_column("dead", pa.array(dead_))
+
+        # the dead-letter view is DERIVED from the documents table at
+        # read time (read_dead_letter) via this map-side flag — the
+        # separate per-wave dead-letter write was one fixed-cost Ray
+        # execution per wave for a handful of rows
+        docs = parsed.drop_columns(drop_cols).map_batches(
+            _flag_dead, batch_format="pyarrow", zero_copy_batch=True
+        )
         write_table(docs, os.path.join(cfg.out_dir, "documents", f"wave-{wave:04d}"))
 
         # per-wave counters (docs / retried / dead-lettered) in ONE narrow
         # pass over the materialized parse output — three separate
         # filter+count executions here cost ~0.5-1 s/wave of pure
         # scheduling overhead at 32 CPUs (VERDICT r1 #6).
-        maxa = cfg.max_fetch_attempts - 1
 
         def _wave_counters(batch: pa.Table) -> pa.Table:
             status = batch["status"].to_numpy(zero_copy_only=False)
@@ -903,30 +987,28 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # then dead-letter; permanent codes dead-letter immediately
         # (the reference acks BlobNotFound and skips — we additionally
         # record it, ref servicebus_processor.py:221-231).
-        failed = parsed.filter(expr="status != 200 and status != 301")
-        retries = failed.filter(
+        retries = parsed.filter(
             expr=f"status == 503 and attempts < {cfg.max_fetch_attempts - 1}"
         ).map_batches(_bump_attempts, batch_format="pyarrow")
-        dead = failed.filter(
-            expr=f"status != 503 or attempts >= {cfg.max_fetch_attempts - 1}"
-        ).select_columns(["url", "host", "depth", "wave", "status", "attempts", "url_hash"])
-        write_table(dead, os.path.join(cfg.out_dir, "dead_letter", f"wave-{wave:04d}"))
-        _tick("dead_write")
 
         # link discovery -> seen-set anti-join -> fresh frontier rows.
         # The groupby consumes the explode output directly (no extra
         # repartition: the groupby exchange repartitions anyway), and
         # only the probe's columns travel through it.
-        # batch_size coalesces the parse output's ~2-blocks-per-CPU into
-        # ~shuffle_width explode output blocks (bigger in-batch pre-dedupe
-        # runs AND a narrower sort-merge fan in the seen groupby) without
-        # an extra exchange
+        # batch_size targets ~3 explode tasks per CPU: the sort behind
+        # the seen groupby parallelizes its map phase PER INPUT BLOCK,
+        # so too few fat blocks starve it (measured on a 627k-doc wave:
+        # 3 blocks -> 11.0 s, 43 blocks -> 2.8 s at 8 CPUs; 4.0 -> 2.1 s
+        # at 32), while thousands of tiny blocks pay per-task scheduling
+        # (the r2 measurement) — the floor keeps in-batch pre-dedupe
+        # runs meaningful.
+        explode_bs = max(4096, int(m["admitted"]) // max(1, 3 * ncpu))
         links = parsed.map_batches(
             _explode_links(
                 wave, cfg.num_seen_shards, cfg.max_depth, cfg.inlink_priority
             ),
             batch_format="pyarrow",
-            batch_size=max(4096, cfg.wave_budget // shuffle_width),
+            batch_size=explode_bs,
         )
         fresh = (
             links.groupby("seen_shard")
@@ -946,6 +1028,8 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             )
             .materialize()
         )
+        m["xchg_fresh_bytes"] = int(fresh.size_bytes() or 0)
+        m["xchg_fresh_rows"] = fresh.count()
         _tick("fresh_mat")
         retry_rows = retries.select_columns(
             ["url", "host", "depth", "priority", "discovered_at", "url_hash", "attempts"]
@@ -1066,13 +1150,27 @@ def _bump_attempts(batch: pa.Table) -> pa.Table:
 
 
 def read_dead_letter(out_dir: str, waves) -> pa.Table:
-    """Dead-lettered fetches of the given waves (empty-safe)."""
+    """Dead-lettered fetches of the given waves — a read-time VIEW over
+    the documents tables (rows flagged ``dead`` by the wave loop), like
+    ``read_crawl_order``: the engine writes one artifact per wave
+    instead of paying a second fixed-cost write execution for a handful
+    of dead rows."""
+    import pyarrow.compute as pc
+
     from ..schemas import DEAD_LETTER
 
-    tables = [
-        read_table_arrow(
-            os.path.join(out_dir, "dead_letter", f"wave-{w:04d}"), schema=DEAD_LETTER
-        ).select(DEAD_LETTER.names)
-        for w in waves
-    ]
+    tables = []
+    for w in waves:
+        t = read_table_arrow(os.path.join(out_dir, "documents", f"wave-{w:04d}"))
+        if t.num_rows == 0:
+            continue
+        t = t.filter(pc.equal(t["dead"], True))
+        tables.append(
+            pa.table(
+                {f.name: pc.cast(t[f.name], f.type) for f in DEAD_LETTER},
+                schema=DEAD_LETTER,
+            )
+        )
+    if not tables:
+        return pa.table({f.name: [] for f in DEAD_LETTER}, schema=DEAD_LETTER)
     return pa.concat_tables(tables, promote_options="permissive")

@@ -473,6 +473,43 @@ def simhash_signatures(docs: ray.data.Dataset, *, ngram: int = 3) -> ray.data.Da
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def simhash_pairs_exact(
+    docs: ray.data.Dataset, *, ngram: int = 3, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Driver-side EXACT Hamming baseline for the quality gates:
+    brute-force all-pairs popcount over the same ``simhash_signatures``
+    the distributed operator uses (chunked 8-bit-LUT popcount, so n in
+    the thousands stays in memory).  A measurement tool for small n —
+    the pigeonhole candidate generation in ``simhash_pairs`` should
+    match it exactly (recall 1.0 / precision 1.0)."""
+    sig = simhash_signatures(docs, ngram=ngram).to_pandas()
+    h = sig["simhash"].to_numpy().astype(np.uint64)
+    ids = sig["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    h, ids = h[order], ids[order]
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        1
+    ).astype(np.uint8)
+    rows_a: list = []
+    rows_b: list = []
+    rows_h: list = []
+    n = len(h)
+    for lo in range(0, n, 512):
+        hi = min(lo + 512, n)
+        x = h[lo:hi, None] ^ h[None, :]
+        ham = (
+            lut[x.view(np.uint8)].reshape(hi - lo, n, 8).sum(2, dtype=np.int64)
+        )
+        ia, ib = np.nonzero(ham <= max_hamming)
+        keep = (lo + ia) < ib  # upper triangle only (a < b by sorted id)
+        rows_a.extend(ids[lo + ia[keep]].tolist())
+        rows_b.extend(ids[ib[keep]].tolist())
+        rows_h.extend(ham[ia[keep], ib[keep]].tolist())
+    return pd.DataFrame(
+        {"doc_a": rows_a, "doc_b": rows_b, "hamming": rows_h}
+    ).astype("int64")
+
+
 def simhash_pairs(
     docs: ray.data.Dataset, *, ngram: int = 3, max_hamming: int = 3
 ) -> ray.data.Dataset:

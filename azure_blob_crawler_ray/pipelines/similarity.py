@@ -294,6 +294,59 @@ def mmr_topk(
     )
 
 
+def mmr_exhaustive(
+    emb: ray.data.Dataset,
+    *,
+    num_queries: int = 8,
+    k: int = 10,
+    lam: float = 0.7,
+) -> pa.Table:
+    """Driver-side EXHAUSTIVE MMR baseline for the quality gates: the
+    same greedy and the same smallest-vec_id tie-break as ``mmr_topk``,
+    but the candidate pool is the whole corpus instead of the global
+    top-``pool``.  O(n·k) matmuls per query on the driver — a
+    measurement tool for small n (bench/pytest agreement floors), not a
+    pipeline."""
+    qids, qm = load_queries(emb, num_queries)
+    df = emb.to_pandas()
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))[order]
+    sims = V @ qm.T  # (n, Q)
+    rows_q: list = []
+    rows_r: list = []
+    rows_v: list = []
+    for j, qid in enumerate(qids):
+        rel = sims[:, j]
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if picked:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = rel.copy()
+            mmr[~avail] = -np.inf
+            best = mmr.max()
+            cand = np.flatnonzero(mmr == best)
+            i = cand[np.argmin(ids[cand])]
+            picked.append(i)
+            avail[i] = False
+            max_sim = np.maximum(max_sim, V @ V[i])
+        rows_q.extend([int(qid)] * len(picked))
+        rows_r.extend(range(1, len(picked) + 1))
+        rows_v.extend(ids[picked].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            "rank": pa.array(rows_r, type=pa.int64()),
+            "vec_id": pa.array(rows_v, type=pa.int64()),
+        }
+    )
+
+
 def kmeans_centroids(
     emb: ray.data.Dataset,
     *,

@@ -28,6 +28,15 @@ class PolitenessShard:
         self.shard_id = shard_id
         robots = ray.get(robots_ref) if isinstance(robots_ref, ray.ObjectRef) else robots_ref
         self.delay_ms: Dict[str, int] = {h: r["crawl_delay_ms"] for h, r in robots.items()}
+        # hash64 -> host name, so admission exchanges can carry an int64
+        # host_hash instead of the host string (the host vocabulary is
+        # exactly the robots table, which this actor already holds)
+        from ..hashing import hash64
+
+        names = list(robots.keys())
+        self._host_by_hash: Dict[int, str] = (
+            dict(zip(hash64(names).tolist(), names)) if names else {}
+        )
         self.wave_duration_ms = wave_duration_ms
         self.per_host_cap = per_host_cap
         self.next_vtime: Dict[str, int] = {}
@@ -84,6 +93,23 @@ class PolitenessShard:
             self._replay.pop(next(iter(self._replay)))
         self._replay[key] = result
         return result
+
+    def admit_hashed(self, host_hashes: np.ndarray, wave: int) -> dict:
+        """``admit`` over int64/uint64 host hashes instead of host
+        strings — the narrow-exchange form (the admission shuffle then
+        carries 8 bytes per row where the host string carried ~15-60).
+        Maps back to names via the robots vocabulary and delegates, so
+        decisions (and the idempotency replay digest) are byte-identical
+        to the string path."""
+        try:
+            hosts = [self._host_by_hash[int(h)] for h in host_hashes]
+        except KeyError as e:  # pragma: no cover - universe violation
+            raise KeyError(
+                f"host hash {e} not in the robots vocabulary; the hashed "
+                "admission path requires every frontier host to have a "
+                "robots entry"
+            ) from e
+        return self.admit(hosts, wave)
 
     def snapshot(self) -> dict:
         return {"shard": self.shard_id, "next_vtime": dict(self.next_vtime)}

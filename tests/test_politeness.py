@@ -125,3 +125,38 @@ def test_actor_calls_are_idempotent_under_task_retry():
     assert not f3.any()
     ray.kill(p)
     ray.kill(s)
+
+
+def test_admit_hashed_matches_string_path():
+    """The narrow-exchange admission (int64 host hashes) must produce
+    byte-identical decisions to the string path — same schedule, same
+    virtual-clock advance, same replay digest."""
+    import numpy as np
+    import ray
+
+    from azure_blob_crawler_ray.hashing import hash64
+    from azure_blob_crawler_ray.state.politeness import PolitenessShard
+
+    robots = {
+        f"h{i}.example.com": {"crawl_delay_ms": 100 + 37 * i, "disallow": []}
+        for i in range(4)
+    }
+    hosts = [f"h{i % 4}.example.com" for i in [0, 1, 0, 2, 3, 0, 1, 2, 0, 3]]
+    hh = hash64(hosts)
+
+    p_str = PolitenessShard.remote(0, robots, 1000, 4)
+    p_hash = PolitenessShard.remote(0, robots, 1000, 4)
+    for wave in range(3):
+        d_s = ray.get(p_str.admit.remote(hosts, wave))
+        d_h = ray.get(p_hash.admit_hashed.remote(hh, wave))
+        assert np.array_equal(d_s["admit"], d_h["admit"])
+        assert np.array_equal(d_s["fetch_ms"], d_h["fetch_ms"])
+    assert ray.get(p_str.snapshot.remote())["next_vtime"] == ray.get(
+        p_hash.snapshot.remote()
+    )["next_vtime"]
+
+    # unknown hash -> loud failure, not a silent wrong decision
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ray.get(p_hash.admit_hashed.remote(np.array([12345], dtype=np.uint64), 9))

@@ -88,3 +88,49 @@ def test_minhash_lsh_precision_recall_floor():
     precision = len(inter) / max(len(got), 1)
     assert recall >= 0.9, f"minhash recall {recall:.3f}"
     assert precision >= 0.9, f"minhash precision {precision:.3f}"
+
+
+def test_mmr_agreement_vs_exhaustive():
+    """mmr_topk restricts the greedy to the global top-pool candidates;
+    against the exhaustive greedy (pool = corpus) the selected sets must
+    agree almost everywhere at bench parameters."""
+    mm = similarity.mmr_topk(_emb()).to_pandas()
+    ex = similarity.mmr_exhaustive(_emb()).to_pandas()
+    g = mm.groupby("query_id")["vec_id"].apply(set)
+    e = ex.groupby("query_id")["vec_id"].apply(set)
+    inter = sum(len(g[q] & e[q]) for q in e.index)
+    agreement = inter / max(sum(len(s) for s in e.index.map(e)), 1)
+    assert agreement >= 0.9, f"mmr agreement {agreement:.3f} < 0.9"
+
+
+def test_simhash_recall_precision_vs_exact_hamming():
+    """simhash_pairs' block-permute candidates are pigeonhole-COMPLETE
+    and its in-bucket verify is exact, so against brute-force Hamming on
+    the same signatures both recall and precision must be 1.0."""
+    import pandas as pd
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import dataprep
+
+    # the corpus has no natural Hamming<=3 twins at this sf, so plant
+    # deterministic near-dups: every 3rd doc gets a one-word-appended copy
+    src = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).head(200)
+    rows = [{"doc_id": int(i), "text": t} for i, t in zip(src.doc_id, src.text)]
+    rows += [
+        {"doc_id": int(i) + 1_000_000, "text": t + " zxqv"}
+        for i, t in zip(src.doc_id, src.text)
+        if int(i) % 3 == 0
+    ]
+    docs = ray.data.from_items(rows)
+    got = dataprep.simhash_pairs(docs, max_hamming=3).to_pandas()
+    gset = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    ex = dataprep.simhash_pairs_exact(docs, max_hamming=3)
+    eset = set(zip(ex["doc_a"], ex["doc_b"]))
+    assert len(eset) > 0
+    hit = gset & eset
+    recall = len(hit) / len(eset)
+    precision = len(hit) / max(len(gset), 1)
+    assert recall == 1.0, f"simhash recall {recall:.3f}"
+    assert precision == 1.0, f"simhash precision {precision:.3f}"

@@ -115,6 +115,20 @@ def run_crawl_bench(
     fetched = sum(m["admitted"] for m in res.metrics)
     deduped = sum(m.get("fresh_plus_deferred", 0) for m in res.metrics)
     processed = fetched + deduped
+    # per-wave exchange volume (VERDICT r3 #7): what actually crossed
+    # the cap/admission and fresh-links all-to-alls, in data terms —
+    # wall seconds on this VM drift +-30-50%, bytes do not.
+    xchg_per_wave = [
+        {
+            "wave": i,
+            "frontier_bytes": m.get("frontier_bytes", 0),
+            "cap_rows": m.get("xchg_cap_rows", 0),
+            "cap_bytes": m.get("xchg_cap_bytes", 0),
+            "fresh_rows": m.get("xchg_fresh_rows", 0),
+            "fresh_bytes": m.get("xchg_fresh_bytes", 0),
+        }
+        for i, m in enumerate(res.metrics)
+    ]
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # emit_index=True path (chunk -> embed -> index INSIDE the wave loop,
@@ -131,6 +145,7 @@ def run_crawl_bench(
             "urls_per_sec": round(processed / wall, 1),
             "fetched_per_sec": round(fetched / wall, 1),
             "waves": len(res.metrics),
+            "xchg_per_wave": xchg_per_wave,
         }
     idx_dir = os.path.join(SCRATCH, f"abc_bench_crawl_idx_{num_cpus}")
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -156,6 +171,7 @@ def run_crawl_bench(
         "urls_per_sec": round(processed / wall, 1),
         "fetched_per_sec": round(fetched / wall, 1),
         "waves": len(res.metrics),
+        "xchg_per_wave": xchg_per_wave,
     }
 
 

@@ -486,6 +486,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_stable_split(sf):
         return dataprep.stable_split(_read(sf, "documents", ["doc_id", "text"]))
 
+    def q_training_order(sf):
+        return dataprep.training_order(
+            _read(sf, "documents", ["doc_id"]), shards=8, seed=17
+        )
+
+    def q_source_cap(sf):
+        return dataprep.source_cap(
+            _read(sf, "documents", ["doc_id", "source", "n_chars"]), k=50
+        )
+
     def q_stratified_sample(sf):
         return dataprep.stratified_sample(
             _read(sf, "documents", ["doc_id", "lang", "text"]), per_stratum=20
@@ -1271,6 +1281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": q_price_quantiles,
         "bm25_search": q_bm25_search,
         "stable_split": q_stable_split,
+        "training_order": q_training_order,
+        "source_cap": q_source_cap,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "pack_interleaved": q_pack_interleaved,
@@ -1679,6 +1691,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "training_order": """
+            SELECT doc_id, h, shard,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                       AS pos
+            FROM (SELECT doc_id,
+                         (doc_id * 2654435761 + 17 * 40503) % 4294967296 AS h,
+                         CAST((doc_id * 2654435761 + 17 * 40503) % 4294967296 % 8
+                              AS INTEGER) AS shard
+                  FROM documents)
+        """,
+        "source_cap": """
+            SELECT doc_id, source, n_chars, rank FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rank
+                FROM documents)
+            WHERE rank <= 50
         """,
         "stratified_sample": """
             SELECT doc_id, lang, fp FROM (

@@ -2922,3 +2922,93 @@ def remove_duplicate_spans(
         .map_groups(rebuild, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+# ---------- training-data sharding (round 4) ----------
+
+def training_order(
+    docs: ray.data.Dataset, *, shards: int = 8, seed: int = 17
+) -> ray.data.Dataset:
+    """Deterministic seeded 'shuffle' for training order: every doc gets
+    a pseudo-random 32-bit key h = (doc_id * Knuth + seed * salt) mod
+    2^32, lands in shard h % shards, and receives its position within
+    the shard by (h, doc_id) order.  This is how a 100 TB corpus is
+    dealt to trainer workers reproducibly: the key is pure arithmetic
+    (any engine — and the SQL oracle — computes the identical order),
+    re-running with the same seed yields byte-identical shards, and a
+    new seed is a full reshuffle without moving the source data.
+
+    Distribution: one narrow (doc_id, h, shard) exchange keyed on
+    shard; the per-shard rank is a vectorized argsort inside ONE
+    map_groups call per shard.  Each shard must fit a worker for the
+    in-group sort — at trillion-row scale raise ``shards`` (the rank
+    semantics are per-shard, so more shards = smaller groups; the
+    reference point is shards ~ total_rows / 50M)."""
+    K = np.int64(2654435761)
+    SALT = np.int64(40503)
+    MOD = np.int64(1 << 32)
+
+    def key_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * K + np.int64(seed) * SALT) % MOD
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(h, type=pa.int64()),
+                "shard": pa.array((h % np.int64(shards)).astype(np.int32)),
+            }
+        )
+
+    def rank_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort").reset_index(drop=True)
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df
+
+    return (
+        docs.select_columns(["doc_id"])
+        .map_batches(key_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pandas")
+    )
+
+
+def source_cap(docs: ray.data.Dataset, *, k: int = 50) -> ray.data.Dataset:
+    """Per-source document quota: keep each source's k longest docs
+    (n_chars DESC, doc_id ASC tie-break) — the domain-cap step of a
+    crawl-derived corpus (no single domain may dominate the mix).
+
+    Skew-safe: a map-side per-source head-k combiner prunes every block
+    to <= k rows per source BEFORE the exchange (a row ranked > k
+    within one block is > k globally), so a hot source ships
+    k x blocks rows, never its full count; then one groupby(source)
+    applies the global cap."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        if len(df) == 0:
+            return batch
+        src = df["source"].to_numpy()
+        new = np.r_[True, src[1:] != src[:-1]]
+        first = np.flatnonzero(new)
+        run_len = np.diff(np.r_[first, len(src)])
+        rank = np.arange(len(src), dtype=np.int64) - np.repeat(first, run_len)
+        return pa.Table.from_pandas(df.iloc[rank < k, :], preserve_index=False)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (
+        docs.select_columns(["doc_id", "source", "n_chars"])
+        .map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+    )

@@ -331,3 +331,66 @@ def test_remove_duplicate_spans_hand_case():
     assert got["doc_id"].tolist() == [0, 1, 2, 3, 4]
     assert got["clean_text"].tolist() == [G + " X", "z y", "", "p q r", "w v"]
     assert got["n_removed"].tolist() == [0, 16, 8, 0, 8]
+
+
+# ---------- training-data sharding (round 4) ----------
+
+def test_training_order_matches_pandas(docs_pd):
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    got = (
+        dataprep.training_order(ds, shards=8, seed=17)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    ids = docs_pd["doc_id"].to_numpy().astype(np.int64)
+    h = (ids * np.int64(2654435761) + np.int64(17) * np.int64(40503)) % np.int64(1 << 32)
+    want = (
+        pd.DataFrame({"doc_id": ids, "h": h, "shard": (h % 8).astype(np.int32)})
+        .sort_values(["shard", "h", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want["pos"] = want.groupby("shard").cumcount()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["pos"].tolist() == want["pos"].tolist()
+    # every shard is a contiguous 0..n-1 position range
+    for s, grp in got.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+
+
+def test_training_order_partitioning_invariant():
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    a = dataprep.training_order(ds, shards=4, seed=3).to_pandas()
+    b = dataprep.training_order(ds.repartition(7), shards=4, seed=3).to_pandas()
+    key = ["shard", "pos"]
+    assert (
+        a.sort_values(key).reset_index(drop=True)["doc_id"].tolist()
+        == b.sort_values(key).reset_index(drop=True)["doc_id"].tolist()
+    )
+    # a different seed is a genuinely different order
+    c = dataprep.training_order(ds, shards=4, seed=4).to_pandas()
+    assert (
+        a.sort_values(key).reset_index(drop=True)["doc_id"].tolist()
+        != c.sort_values(key).reset_index(drop=True)["doc_id"].tolist()
+    )
+
+
+def test_source_cap_matches_pandas():
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    full = ds.to_pandas()
+    k = 30
+    got = (
+        dataprep.source_cap(ds.repartition(5), k=k)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    want = full.sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    want["rank"] = want.groupby("source").cumcount() + 1
+    want = want[want["rank"] <= k].reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()

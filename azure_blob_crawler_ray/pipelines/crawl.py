@@ -655,22 +655,35 @@ def _budget_cut_filter(key):
 
 
 def _seed_frontier(cfg: CrawlConfig, robots: Dict[str, dict]) -> ray.data.Dataset:
-    # seeds ∪ sitemap-advertised URLs (gated by the PARSED robots text)
+    # seeds ∪ sitemap-advertised URLs (gated by the PARSED robots text).
+    # Only the uid ARRAY is built on the driver (numpy, microseconds);
+    # the url/host string synthesis + canonicalization + hashing — ~2 s
+    # of serial Python for a 200k-seed run — happens in parallel
+    # map_batches tasks, so the fixed per-run cost no longer scales
+    # with the seed count on the driver.
     uids = synth.all_seed_uids(cfg, robots)
-    urls, hosts, _ = synth.urls_for(uids, cfg)
-    uh = hash64([canonical_url(u) for u in urls])
-    t = pa.table(
-        {
-            "url": pa.array(urls, type=pa.string()),
-            "host": pa.array(hosts, type=pa.string()),
-            "depth": pa.array(np.zeros(len(urls), dtype=np.int32)),
-            "priority": pa.array(np.ones(len(urls), dtype=np.float32)),
-            "discovered_at": pa.array(np.zeros(len(urls), dtype=np.int64)),
-            "url_hash": pa.array(uh),
-            "attempts": pa.array(np.zeros(len(urls), dtype=np.int32)),
-        }
-    )
-    return ray.data.from_arrow(t)
+
+    def build(batch: dict) -> pa.Table:
+        u = batch["uid"].astype(np.int64)
+        urls, hosts, _ = synth.urls_for(u, cfg)
+        uh = hash64([canonical_url(x) for x in urls])
+        n = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "host": pa.array(hosts, type=pa.string()),
+                "depth": pa.array(np.zeros(n, dtype=np.int32)),
+                "priority": pa.array(np.ones(n, dtype=np.float32)),
+                "discovered_at": pa.array(np.zeros(n, dtype=np.int64)),
+                "url_hash": pa.array(uh),
+                "attempts": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    n_blocks = max(1, min(16, len(uids) // 4096))
+    return ray.data.from_numpy(np.asarray(uids, dtype=np.int64)).rename_columns(
+        {"data": "uid"}
+    ).repartition(n_blocks).map_batches(build, batch_format="numpy")
 
 
 # ---------- the wave loop ----------
@@ -730,10 +743,11 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         frontier = read_table(os.path.join(wdir, "frontier"))
         start_wave = last_ok + 1
     else:
-        # one-time split of the (single-block) seed table so wave 0's map
-        # stages have width; later waves inherit the checkpoint's natural
-        # multi-file layout, so the per-wave repartition is gone
-        frontier = _seed_frontier(cfg, robots).repartition(shuffle_width)
+        # the seed table is born multi-block (built in parallel map
+        # tasks), so wave 0's map stages have width without an extra
+        # repartition; later waves inherit the checkpoint's natural
+        # multi-file layout
+        frontier = _seed_frontier(cfg, robots)
         # seeds enter the seen set before wave 0 (same as the oracle)
         uh = frontier.select_columns(["url_hash"]).to_pandas()["url_hash"].to_numpy().astype(np.uint64)
         sh = (uh % np.uint64(cfg.num_seen_shards)).astype(np.int64)
@@ -917,7 +931,11 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         docs = parsed.drop_columns(drop_cols).map_batches(
             _flag_dead, batch_format="pyarrow", zero_copy_batch=True
         )
-        write_table(docs, os.path.join(cfg.out_dir, "documents", f"wave-{wave:04d}"))
+        write_table(
+            docs,
+            os.path.join(cfg.out_dir, "documents", f"wave-{wave:04d}"),
+            min_rows_per_file=64_000,
+        )
 
         # per-wave counters (docs / retried / dead-lettered) in ONE narrow
         # pass over the materialized parse output — three separate

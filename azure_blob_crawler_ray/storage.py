@@ -29,15 +29,31 @@ except ImportError:
     HAS_LANCE = False
 
 
-def write_table(ds: ray.data.Dataset, uri: str, *, mode: str = "overwrite") -> None:
-    """Write a Dataset to ``uri`` atomically (tmp dir + rename)."""
+def write_table(
+    ds: ray.data.Dataset,
+    uri: str,
+    *,
+    mode: str = "overwrite",
+    min_rows_per_file: Optional[int] = None,
+) -> None:
+    """Write a Dataset to ``uri`` atomically (tmp dir + rename).
+
+    ``min_rows_per_file`` coalesces adjacent small blocks into larger
+    files: a 32-CPU crawl wave otherwise writes ~130 files of <1 MB
+    each, and at 100 TB the file COUNT (object-store request rate,
+    open/close, metadata listing on resume) becomes the cost, not the
+    bytes.  Opt-in per artifact: terminal outputs (documents) coalesce;
+    tables that are read back into the next wave (frontier,
+    checkpoints) keep one-file-per-block so the read-side block layout
+    — the map-stage width the wave loop relies on — is preserved."""
     if HAS_LANCE:  # pragma: no cover
         ds.write_lance(uri, mode="overwrite" if mode == "overwrite" else "append")
         return
     tmp = uri + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    ds.write_parquet(tmp)
+    kw = {"min_rows_per_file": min_rows_per_file} if min_rows_per_file else {}
+    ds.write_parquet(tmp, **kw)
     os.makedirs(tmp, exist_ok=True)  # an empty dataset writes no files
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("{}")

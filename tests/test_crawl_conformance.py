@@ -110,3 +110,29 @@ def test_resume_mid_crawl_identical(tmp_path):
     assert _engine_docs(out_a, res_a.waves_run) == _engine_docs(
         out_b, range(max(res_a.waves_run) + 1)
     )
+
+
+def test_scale_job_shape_matches_oracle(tmp_path):
+    """A 1/100-size replica of bench.py's SCALE_KW job (same shape
+    ratios: 1000->10 hosts, raised cuckoo_buckets, budget-binding
+    wave_budget, high per-host cap, long wave) — the 8->32 scaling
+    metric's job class must itself be oracle-conformant, not only the
+    headline config."""
+    out = str(tmp_path / "scale_mini")
+    cfg = CrawlConfig(
+        out_dir=out,
+        universe=80_000,
+        n_hosts=10,
+        max_waves=2,
+        wave_budget=12_000,
+        max_fetches_per_host_per_wave=20_000,
+        seeds_per_host=200,
+        wave_duration_ms=3_600_000,
+        emit_index=False,
+        cuckoo_buckets=1 << 14,
+    )
+    res = run_crawl(cfg)
+    sim = simulate_crawl(cfg)
+    assert np.array_equal(res.seen_digest, sim.seen_digest)
+    order = _engine_order(out, res.waves_run)
+    assert order == sim.order

@@ -37,6 +37,7 @@ final frontier between this loop and the oracle.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List
@@ -931,11 +932,53 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         docs = parsed.drop_columns(drop_cols).map_batches(
             _flag_dead, batch_format="pyarrow", zero_copy_batch=True
         )
-        write_table(
-            docs,
-            os.path.join(cfg.out_dir, "documents", f"wave-{wave:04d}"),
-            min_rows_per_file=64_000,
-        )
+
+        # The documents (and, when enabled, index) writes are DISK-bound
+        # executions over the already-materialized parse output, fully
+        # independent of the link-explosion/seen-probe compute that
+        # follows — run them on a background thread (its own streaming
+        # execution) and join before the wave commits, so the per-wave
+        # disk phases overlap the CPU phases instead of serializing the
+        # wave. Durability is unchanged: _WAVE_DONE is written only
+        # after the join.
+        write_errs: List[BaseException] = []
+
+        def _write_docs_and_index() -> None:
+            try:
+                write_table(
+                    docs,
+                    os.path.join(cfg.out_dir, "documents", f"wave-{wave:04d}"),
+                    min_rows_per_file=64_000,
+                )
+                if cfg.emit_index:
+                    # ONE fused TASK-pool stage (chunk+embed+assemble,
+                    # cheap per-process state cache): separate pools paid
+                    # two spin-ups per wave (~10 s at 32 CPUs regardless
+                    # of doc count); the pool tuple degrades to its max
+                    # as the task-concurrency cap.
+                    pool = (1, max(8, ncpu))
+                    to_index = docs
+                    if cfg.dedup_content:
+                        # content dups never reach the index (the
+                        # canonical copy already did / will in its own
+                        # wave)
+                        to_index = docs.filter(expr="content_dup == False")
+                    index = chunk_embed_index_stage(
+                        to_index.select_columns(
+                            ["doc_id", "ext", "full_content", "spans"]
+                        ),
+                        cfg.chunk_max_tokens,
+                        cfg.embed_dim,
+                        concurrency=pool,
+                    )
+                    write_table(
+                        index, os.path.join(cfg.out_dir, "index", f"wave-{wave:04d}")
+                    )
+            except BaseException as e:  # re-raised on the main thread
+                write_errs.append(e)
+
+        docs_thread = threading.Thread(target=_write_docs_and_index, daemon=True)
+        docs_thread.start()
 
         # per-wave counters (docs / retried / dead-lettered) in ONE narrow
         # pass over the materialized parse output — three separate
@@ -976,29 +1019,7 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         m["dead_lettered"] = int(cnt["dead"])
         m["redirected"] = int(cnt["redirected"])
         m["content_dups"] = int(cnt["content_dups"])
-        _tick("docs_write")
-
-        if cfg.emit_index:
-            # ONE fused TASK-pool stage (chunk+embed+assemble, cheap
-            # per-process state cache): separate pools paid two spin-ups
-            # per wave (~10 s at 32 CPUs regardless of doc count); the
-            # fetch stage is already finished (parsed is materialized),
-            # so this stage can own the whole machine — the pool tuple
-            # degrades to its max as the task-concurrency cap.
-            pool = (1, max(8, ncpu))
-            to_index = docs
-            if cfg.dedup_content:
-                # content dups never reach the index (the canonical copy
-                # already did / will in its own wave)
-                to_index = docs.filter(expr="content_dup == False")
-            index = chunk_embed_index_stage(
-                to_index.select_columns(["doc_id", "ext", "full_content", "spans"]),
-                cfg.chunk_max_tokens,
-                cfg.embed_dim,
-                concurrency=pool,
-            )
-            write_table(index, os.path.join(cfg.out_dir, "index", f"wave-{wave:04d}"))
-            _tick("index_write")
+        _tick("counters")
 
         # failure taxonomy (SURVEY.md §4.1): transient failures re-enter
         # the next frontier with attempts+1 until max_fetch_attempts,
@@ -1052,6 +1073,13 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         retry_rows = retries.select_columns(
             ["url", "host", "depth", "priority", "discovered_at", "url_hash", "attempts"]
         )
+        # The next frontier is written to the checkpoint and read BACK as
+        # the next wave's input on purpose: the parquet round-trip
+        # coalesces the union's fragmented layout (deferred blocks +
+        # groupby partitions + retry blocks) into ~#files blocks, and the
+        # write is paid anyway for durability. Carrying the materialized
+        # union directly was measured SLOWER — wave N+1's tag/cap/admit
+        # went 1.6 s -> 3.8 s on the headline job from task-count bloat.
         nxt = deferred.union(fresh).union(retry_rows)
         wdir = os.path.join(ckpt, f"wave-{wave:04d}")
         os.makedirs(wdir, exist_ok=True)
@@ -1070,9 +1098,12 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
             for i, b in enumerate(cblobs):
                 with open(os.path.join(wdir, f"content-{i:02d}.bin"), "wb") as f:
                     f.write(b)
+        docs_thread.join()
+        if write_errs:
+            raise write_errs[0]
         frontier = read_table(os.path.join(wdir, "frontier"))
         m["fresh_plus_deferred"] = frontier.count()
-        _tick("ckpt")
+        _tick("ckpt_docs_join")
         m["wall_s"] = round(time.time() - t0, 3)
         stats = ray.get([a.stats.remote() for a in seen])
         m["seen_total"] = int(sum(s["count"] for s in stats))

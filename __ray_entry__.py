@@ -632,6 +632,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["label", "embedding"])
         )
 
+    def q_embed_covariance(sf):
+        from azure_blob_crawler_ray.pipelines import decomp
+
+        return decomp.embed_covariance(_read(sf, "embeddings", ["embedding"]))
+
+    def q_pca_variance(sf):
+        from azure_blob_crawler_ray.pipelines import decomp
+
+        return decomp.pca_variance(_read(sf, "embeddings", ["embedding"]), k=8)
+
+    def q_pca_project(sf):
+        from azure_blob_crawler_ray.pipelines import decomp
+
+        return decomp.pca_project(
+            _read(sf, "embeddings", ["vec_id", "embedding"]), k=4
+        )
+
+    def q_kmeans_clusters(sf):
+        from azure_blob_crawler_ray.pipelines import decomp
+
+        return decomp.kmeans_clusters(
+            _read(sf, "embeddings", ["vec_id", "embedding"]), k=8, iters=4
+        )
+
     def q_top_terms_per_lang(sf):
         return dataprep.top_terms_per_lang(
             _read(sf, "documents", ["lang", "text"]), k=10
@@ -1300,6 +1324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "shard_manifest": q_shard_manifest,
         "label_centroids": q_label_centroids,
+        "embed_covariance": q_embed_covariance,
+        "pca_variance": q_pca_variance,
+        "pca_project": q_pca_project,
+        "kmeans_clusters": q_kmeans_clusters,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dedup_keep_best": q_dedup_keep_best,
         "media_frame_sample": q_media_frame_sample,
@@ -2014,6 +2042,31 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS q
                 FROM embeddings)
             GROUP BY label, pos ORDER BY label, pos
+        """,
+        # Population covariance of the QUANTIZED embeddings (q = floor(v *
+        # 2^20) as int64): the distributed sums are exact integers, so the
+        # identical double formula below reproduces the engine bit-for-bit
+        # (same trick as label_centroids; see decomp.embed_covariance).
+        "embed_covariance": """
+            WITH e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+                            AS BIGINT) AS q
+                FROM embeddings),
+            p AS (
+                SELECT a.i AS i, b.i AS j,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(a.q * b.q) AS sqq,
+                       SUM(a.q) AS sa,
+                       SUM(b.q) AS sb
+                FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY a.i, b.i)
+            SELECT i, j, n,
+                   (CAST(sqq AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / n)
+                     / n / 1099511627776.0 AS cov
+            FROM p ORDER BY i, j
         """,
         "shipping_priority": """
             SELECT o_orderkey,

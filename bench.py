@@ -251,6 +251,9 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "bigram_counts",
         "decontaminate",
         "label_centroids",
+        "embed_covariance",
+        "kmeans_clusters",
+        "pca_project",
         "shipping_priority",
         "moving_avg",
         "tfidf_top_terms",

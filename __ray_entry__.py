@@ -656,6 +656,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["vec_id", "embedding"]), k=8, iters=4
         )
 
+    def q_pca_whiten(sf):
+        from azure_blob_crawler_ray.pipelines import decomp
+
+        return decomp.pca_whiten(
+            _read(sf, "embeddings", ["vec_id", "embedding"]), k=4
+        )
+
+    def q_bloom_semi_revenue(sf):
+        from azure_blob_crawler_ray.pipelines import bloomjoin
+
+        return bloomjoin.bloom_semi_revenue(
+            _read(
+                sf,
+                "lineitem",
+                [
+                    "l_orderkey",
+                    "l_returnflag",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                ],
+            ),
+            _read(sf, "orders", ["o_orderkey", "o_orderpriority"]),
+            priority="1-URGENT",
+        )
+
     def q_top_terms_per_lang(sf):
         return dataprep.top_terms_per_lang(
             _read(sf, "documents", ["lang", "text"]), k=10
@@ -1327,7 +1353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_covariance": q_embed_covariance,
         "pca_variance": q_pca_variance,
         "pca_project": q_pca_project,
+        "pca_whiten": q_pca_whiten,
         "kmeans_clusters": q_kmeans_clusters,
+        "bloom_semi_revenue": q_bloom_semi_revenue,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dedup_keep_best": q_dedup_keep_best,
         "media_frame_sample": q_media_frame_sample,
@@ -2067,6 +2095,23 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / n)
                      / n / 1099511627776.0 AS cov
             FROM p ORDER BY i, j
+        """,
+        # Exact fact-side semi-join (Bloom prefilter + bucketed exact
+        # verify in the engine; the filter is sound + verified, so plain
+        # semi-join SQL is the oracle).  All outputs are int64 (exact
+        # cents), see bloomjoin.bloom_semi_revenue.
+        "bloom_semi_revenue": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                       * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "shipping_priority": """
             SELECT o_orderkey,

@@ -236,16 +236,12 @@ def pca_variance(
     )
 
 
-def pca_project(
-    emb: ray.data.Dataset, *, k: int = 4, scale_bits: int = 20
+def _project_dataset(
+    emb: ray.data.Dataset, mean: np.ndarray, W: np.ndarray, scale_bits: int
 ) -> ray.data.Dataset:
-    """Project every vector onto the top-k principal axes — long-form
-    (vec_id, component, value) rows.  The fit is the driver-small
-    single-pass moments; the (mean, W) pair is broadcast ONCE via
-    ``ray.put`` and each batch does one centered matmul.  Projection
-    uses the same quantized values the fit saw, so per-component
-    population variance equals the eigenvalue exactly (tested)."""
-    mean, W, _, _, _ = pca_fit(emb, k=k, scale_bits=scale_bits)
+    """Shared projection map: broadcast (mean, W) once via ``ray.put``,
+    one centered layout-independent multiply per batch, long-form
+    (vec_id, component, value) output."""
     ref = ray.put((mean, W, scale_bits))
 
     def project(batch: pa.Table) -> pa.Table:
@@ -275,6 +271,44 @@ def pca_project(
     return emb.select_columns(["vec_id", "embedding"]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def pca_project(
+    emb: ray.data.Dataset, *, k: int = 4, scale_bits: int = 20
+) -> ray.data.Dataset:
+    """Project every vector onto the top-k principal axes — long-form
+    (vec_id, component, value) rows.  The fit is the driver-small
+    single-pass moments; the (mean, W) pair is broadcast ONCE via
+    ``ray.put`` and each batch does one centered matmul.  Projection
+    uses the same quantized values the fit saw, so per-component
+    population variance equals the eigenvalue exactly (tested)."""
+    mean, W, _, _, _ = pca_fit(emb, k=k, scale_bits=scale_bits)
+    return _project_dataset(emb, mean, W, scale_bits)
+
+
+def pca_whiten(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 4,
+    scale_bits: int = 20,
+    eps: float = 1e-12,
+) -> ray.data.Dataset:
+    """PCA whitening: project onto the top-k axes AND rescale each by
+    1/sqrt(eigenvalue), so every output component has population
+    variance exactly 1 and zero cross-covariance (tested) — the
+    decorrelated unit-variance input that SemDeDup-style cosine
+    thresholds and product quantizers assume.
+
+    Same scale shape as ``pca_project`` (driver-small fit, one
+    broadcast, map-only projection).  Eigenvalues below ``eps`` x the
+    leading eigenvalue are degenerate directions; their rows are scaled
+    by 0 (dropped to constant 0) rather than exploding noise."""
+    mean, W, vals, _, _ = pca_fit(emb, k=k, scale_bits=scale_bits)
+    lead = float(vals[0]) if len(vals) else 0.0
+    inv = np.where(
+        vals > eps * max(lead, eps), 1.0 / np.sqrt(np.maximum(vals, eps)), 0.0
+    )
+    return _project_dataset(emb, mean, inv[:, None] * W, scale_bits)
 
 
 def kmeans_fit_full(

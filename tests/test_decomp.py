@@ -129,6 +129,33 @@ def test_pca_project_layout_invariance(emb_ds):
     assert a.equals(b)
 
 
+def test_pca_whiten_unit_variance_zero_crosscov(emb_ds):
+    k = 4
+    w = decomp.pca_whiten(emb_ds, k=k).to_pandas()
+    wide = w.pivot(index="vec_id", columns="component", values="value").to_numpy()
+    n = wide.shape[0]
+    cov = (wide - wide.mean(axis=0)).T @ (wide - wide.mean(axis=0)) / n
+    assert np.allclose(np.diag(cov), 1.0, atol=1e-6)
+    off = cov - np.diag(np.diag(cov))
+    assert np.all(np.abs(off) < 1e-6)
+
+
+def test_pca_whiten_layout_invariance(emb_ds):
+    a = (
+        decomp.pca_whiten(emb_ds.repartition(2), k=3)
+        .to_pandas()
+        .sort_values(["vec_id", "component"])
+        .reset_index(drop=True)
+    )
+    b = (
+        decomp.pca_whiten(emb_ds.repartition(9), k=3)
+        .to_pandas()
+        .sort_values(["vec_id", "component"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def _kmeans_replica(ids, X, k, iters):
     q = _q(X)
     order = np.argsort(ids, kind="stable")

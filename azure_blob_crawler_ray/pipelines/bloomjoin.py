@@ -81,15 +81,42 @@ def _positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     )
 
 
+_OR_BUCKETS = 256  # coarse word-hash groups for the build exchange
+
+
+def _or_pack(w: np.ndarray, v: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Segmented bitwise-OR: given word indices ``w`` (any order) and
+    word values ``v``, return (distinct_w, OR of v per w) — sort + one
+    ``np.bitwise_or.reduceat`` (bit patterns are preserved through the
+    int64 view, so signed storage is safe)."""
+    order = np.argsort(w, kind="stable")
+    w, v = w[order], v[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
+    return w[starts], np.bitwise_or.reduceat(v, starts)
+
+
 def build_bloom(
     build: ray.data.Dataset, key_col: str, *, m_bits: int, k: int
 ) -> np.ndarray:
     """One streaming pass over the build keys -> packed uint64 bitset
-    (m_bits/64 words).  Exchange = distinct set-bit rows (<= m_bits,
-    typically ~n*k), never the build rows themselves."""
-    empty = pa.table({"bit": pa.array([], type=pa.int64())})
+    (m_bits/64 words).
 
-    def bits(batch: pa.Table) -> pa.Table:
+    Exchange shape: each batch OR-packs its own bit positions into
+    (word_idx, word) int64 pairs — at most m/64 rows per batch, 64x
+    narrower than raw bit rows — and ONE coarse groupby over
+    ``word_idx % 256`` merges them with a vectorized segmented OR per
+    bucket.  ~256 uniform groups keep the sort-shuffle trivial (a
+    groupby keyed on the raw bit produced millions of one-row groups
+    and cost ~9 s where this costs ~1 s at the same scale), and the
+    driver pull is bounded by m/64 word rows regardless of build size."""
+    empty = pa.table(
+        {
+            "word": pa.array([], type=pa.int64()),
+            "val": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def words_of(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
         keys = (
@@ -97,22 +124,36 @@ def build_bloom(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        pos = np.unique(_positions(keys, m_bits, k))
-        return pa.table({"bit": pa.array(pos.astype(np.int64))})
+        pos = np.unique(_positions(keys, m_bits, k))  # sorted distinct bits
+        w = (pos >> np.uint64(6)).view(np.int64)
+        v = (np.uint64(1) << (pos & np.uint64(63))).view(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
+        return pa.table(
+            {
+                "word": pa.array(w[starts]),
+                "val": pa.array(np.bitwise_or.reduceat(v, starts)),
+            }
+        )
+
+    def or_bucket(group: pa.Table) -> pa.Table:
+        w = group["word"].to_numpy(zero_copy_only=False)
+        v = group["val"].to_numpy(zero_copy_only=False)
+        ww, vv = _or_pack(w, v)
+        return pa.table({"word": pa.array(ww), "val": pa.array(vv)})
 
     agg = (
         build.select_columns([key_col])
-        .map_batches(bits, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bit")
-        .aggregate(_Sum("bit", alias_name="_c"))  # dedup; value unused
-        .select_columns(["bit"])
+        .map_batches(words_of, batch_format="pyarrow", zero_copy_batch=True)
+        .add_column("__bucket", lambda df: df["word"] % _OR_BUCKETS)
+        .groupby("__bucket")
+        .map_groups(or_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     words = np.zeros(m_bits // 64, dtype=np.uint64)
     if len(agg):
-        b = agg["bit"].to_numpy().astype(np.uint64)
-        np.bitwise_or.at(words, (b >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (b & np.uint64(63)))
+        w = agg["word"].to_numpy().astype(np.int64)
+        v = agg["val"].to_numpy().view(np.uint64)
+        words[w] = v
     return words
 
 

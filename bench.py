@@ -254,6 +254,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "embed_covariance",
         "kmeans_clusters",
         "pca_project",
+        "bloom_semi_revenue",
         "shipping_priority",
         "moving_avg",
         "tfidf_top_terms",

@@ -77,14 +77,20 @@ def build_bloom(keys: np.ndarray, **kw) -> BloomFilter:
 
 
 def bloom_of_dataset(ds, key_col: str, *, num_bits: int = 1 << 20, num_hashes: int = 4):
-    """Distributed Bloom build: each block folds its keys into a local
-    fixed-size bit array; the driver ORs the per-block arrays — it holds
-    BITS (num_bits/8 bytes per block summary, then one array), never
-    keys, so the build is bounded regardless of row count. Size
-    ``num_bits`` ~ 10x the expected distinct keys (1 << 20 bits = 128 KB
-    covers ~100k keys at <2% FP; scale it with the key estimate at
-    100 TB). The source dataset is re-executed by the subsequent
-    consumer — keep it a cheap scan+filter."""
+    """Distributed Bloom build, DENSE form: each block folds its keys
+    into a local fixed-size bit array; the driver ORs the per-block
+    arrays — it holds BITS (num_bits/8 bytes per block summary, then one
+    array), never keys, so the build is bounded regardless of row count.
+    Size ``num_bits`` ~ 10x the expected distinct keys (1 << 20 bits =
+    128 KB covers ~100k keys at <2% FP; scale it with the key estimate
+    at 100 TB). The source dataset is re-executed by the subsequent
+    consumer — keep it a cheap scan+filter.
+
+    Driver traffic is O(blocks x num_bits/8): right when blocks are few
+    or batches are bit-dense. When keys-per-block x num_hashes is small
+    relative to num_bits (a big filter over a thin build side), use
+    ``bloom_of_dataset_sparse`` — its exchange carries only the SET
+    words and its driver pull is bounded by num_bits/64 rows."""
     import pyarrow as pa
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -98,3 +104,85 @@ def bloom_of_dataset(ds, key_col: str, *, num_bits: int = 1 << 20, num_hashes: i
         for blob in parts["bits"]:
             out.bits |= np.frombuffer(blob, dtype=np.uint8)
     return out
+
+_OR_BUCKETS = 256  # coarse word-hash groups for the sparse build exchange
+
+
+def bloom_of_dataset_sparse(
+    ds, key_col: str, *, num_bits: int = 1 << 20, num_hashes: int = 4
+) -> BloomFilter:
+    """Distributed Bloom build, SPARSE form: each batch OR-packs its own
+    distinct bit positions into (word_idx, 64-bit word) pairs — at most
+    num_bits/64 rows per batch, and typically ~keys x num_hashes / 64 —
+    and ONE coarse groupby over ``word_idx % 256`` merges them with a
+    segmented ``np.bitwise_or.reduceat`` per bucket.
+
+    ~256 uniform groups keep the sort-shuffle trivial (a groupby keyed
+    on raw bit positions produced millions of one-row groups and cost
+    ~9 s where this costs ~1 s at 300k keys / m=2^22), and the driver
+    pull is bounded by num_bits/64 word rows regardless of build size.
+    num_bits must be a multiple of 64.  The filter is bit-compatible
+    with ``BloomFilter`` (little-endian word view of the same bit
+    layout), so ``contains_many`` works unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if num_bits % 64:
+        raise ValueError("bloom_of_dataset_sparse: num_bits must be a multiple of 64")
+    m = np.uint64(num_bits)
+    empty = pa.table(
+        {"word": pa.array([], type=pa.int64()), "val": pa.array([], type=pa.int64())}
+    )
+
+    def words_of(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        keys = (
+            pc.cast(batch[key_col], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        pos = np.unique(
+            np.concatenate([_mix(keys, s) % m for s in range(num_hashes)])
+        )  # sorted distinct bit positions
+        w = (pos >> np.uint64(6)).view(np.int64)
+        v = (np.uint64(1) << (pos & np.uint64(63))).view(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
+        return pa.table(
+            {
+                "word": pa.array(w[starts]),
+                "val": pa.array(np.bitwise_or.reduceat(v, starts)),
+            }
+        )
+
+    def or_bucket(group: pa.Table) -> pa.Table:
+        w = group["word"].to_numpy(zero_copy_only=False)
+        v = group["val"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        w, v = w[order], v[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
+        return pa.table(
+            {
+                "word": pa.array(w[starts]),
+                "val": pa.array(np.bitwise_or.reduceat(v, starts)),
+            }
+        )
+
+    agg = (
+        ds.select_columns([key_col])
+        .map_batches(words_of, batch_format="pyarrow", zero_copy_batch=True)
+        .add_column("__bucket", lambda df: df["word"] % _OR_BUCKETS)
+        .groupby("__bucket")
+        .map_groups(or_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+    if len(agg):
+        words = np.zeros(num_bits // 64, dtype=np.uint64)
+        words[agg["word"].to_numpy().astype(np.int64)] = (
+            agg["val"].to_numpy().view(np.uint64)
+        )
+        # little-endian uint8 view of the same bits: bit (idx & 7) of
+        # byte (idx >> 3) == bit (idx & 63) of word (idx >> 6)
+        bf.bits = words.view(np.uint8).copy()
+    return bf

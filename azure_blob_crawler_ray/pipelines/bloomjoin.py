@@ -13,12 +13,13 @@ a dense id bitmap (unbounded for sparse keys) cannot.
 
 Pipeline shape (three narrow exchanges, all documented here):
 
-1. **Build** (``build_bloom``): one streaming pass over the build keys;
-   each batch emits its DISTINCT set-bit positions as int64 rows, and a
-   ``groupby(bit)`` dedups them cluster-wide — the exchange is
-   O(distinct set bits) <= m narrow rows, never O(build rows).  The
-   driver materialises only the m-bit bitset (m/8 bytes) and broadcasts
-   it once via ``ray.put``.
+1. **Build** (``functions.bloom.bloom_of_dataset_sparse``): one
+   streaming pass over the build keys; each batch OR-packs its distinct
+   set-bit positions into (word_idx, 64-bit word) pairs merged by one
+   ~256-group coarse groupby — the exchange is O(set words) <= m/64
+   narrow rows, never O(build rows).  The driver materialises only the
+   m-bit ``BloomFilter`` (m/8 bytes) and broadcasts it once via
+   ``ray.put``.
 2. **Probe prefilter + partial aggregate**: map-side, zero shuffle.
    Rows whose k probes are not all set are dropped (a true non-member
    never survives: Bloom has no false negatives, so the prefilter is
@@ -47,18 +48,9 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum as _Sum
 
-_MIX = np.uint64(0x9E3779B97F4A7C15)
+from ..functions.bloom import bloom_of_dataset_sparse
 
-
-def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
-    """splitmix64 finalizer over int64 keys — vectorized, deterministic
-    everywhere (pure uint64 arithmetic, no Python hash)."""
-    # seed offset computed in Python ints: wraparound without numpy's
-    # scalar-overflow warning (the wrap itself is intended splitmix64)
-    z = x.astype(np.uint64) + np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # verify-stage bucket mixing
 
 
 def bloom_params_for(n_keys: int, fp_rate: float = 0.01) -> Tuple[int, int]:
@@ -66,105 +58,13 @@ def bloom_params_for(n_keys: int, fp_rate: float = 0.01) -> Tuple[int, int]:
     ``fp_rate`` — m = -n ln p / (ln 2)^2, k = (m/n) ln 2.  At scale the
     caller sizes from an estimate (block-count x rows-per-block, or a
     prior count); overshooting m only wastes bitset bytes, and the exact
-    verify stage makes correctness independent of the estimate."""
+    verify stage makes correctness independent of the estimate.  m is
+    rounded up to whole 64-bit words (the sparse build requires it)."""
     n = max(1, int(n_keys))
     m = int(np.ceil(-n * np.log(fp_rate) / (np.log(2.0) ** 2)))
     m = max(64, (m + 63) // 64 * 64)  # whole uint64 words
     k = max(1, int(round(m / n * np.log(2.0))))
     return m, min(k, 16)
-
-
-def _positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """(n, k) bit positions for each key — k independent mixes mod m."""
-    return np.stack(
-        [(_mix64(keys, s + 1) % np.uint64(m_bits)) for s in range(k)], axis=1
-    )
-
-
-_OR_BUCKETS = 256  # coarse word-hash groups for the build exchange
-
-
-def _or_pack(w: np.ndarray, v: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
-    """Segmented bitwise-OR: given word indices ``w`` (any order) and
-    word values ``v``, return (distinct_w, OR of v per w) — sort + one
-    ``np.bitwise_or.reduceat`` (bit patterns are preserved through the
-    int64 view, so signed storage is safe)."""
-    order = np.argsort(w, kind="stable")
-    w, v = w[order], v[order]
-    starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
-    return w[starts], np.bitwise_or.reduceat(v, starts)
-
-
-def build_bloom(
-    build: ray.data.Dataset, key_col: str, *, m_bits: int, k: int
-) -> np.ndarray:
-    """One streaming pass over the build keys -> packed uint64 bitset
-    (m_bits/64 words).
-
-    Exchange shape: each batch OR-packs its own bit positions into
-    (word_idx, word) int64 pairs — at most m/64 rows per batch, 64x
-    narrower than raw bit rows — and ONE coarse groupby over
-    ``word_idx % 256`` merges them with a vectorized segmented OR per
-    bucket.  ~256 uniform groups keep the sort-shuffle trivial (a
-    groupby keyed on the raw bit produced millions of one-row groups
-    and cost ~9 s where this costs ~1 s at the same scale), and the
-    driver pull is bounded by m/64 word rows regardless of build size."""
-    empty = pa.table(
-        {
-            "word": pa.array([], type=pa.int64()),
-            "val": pa.array([], type=pa.int64()),
-        }
-    )
-
-    def words_of(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return empty
-        keys = (
-            pc.cast(batch[key_col], pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        pos = np.unique(_positions(keys, m_bits, k))  # sorted distinct bits
-        w = (pos >> np.uint64(6)).view(np.int64)
-        v = (np.uint64(1) << (pos & np.uint64(63))).view(np.int64)
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(w)) + 1])
-        return pa.table(
-            {
-                "word": pa.array(w[starts]),
-                "val": pa.array(np.bitwise_or.reduceat(v, starts)),
-            }
-        )
-
-    def or_bucket(group: pa.Table) -> pa.Table:
-        w = group["word"].to_numpy(zero_copy_only=False)
-        v = group["val"].to_numpy(zero_copy_only=False)
-        ww, vv = _or_pack(w, v)
-        return pa.table({"word": pa.array(ww), "val": pa.array(vv)})
-
-    agg = (
-        build.select_columns([key_col])
-        .map_batches(words_of, batch_format="pyarrow", zero_copy_batch=True)
-        .add_column("__bucket", lambda df: df["word"] % _OR_BUCKETS)
-        .groupby("__bucket")
-        .map_groups(or_bucket, batch_format="pyarrow")
-        .to_pandas()
-    )
-    words = np.zeros(m_bits // 64, dtype=np.uint64)
-    if len(agg):
-        w = agg["word"].to_numpy().astype(np.int64)
-        v = agg["val"].to_numpy().view(np.uint64)
-        words[w] = v
-    return words
-
-
-def _member(keys: np.ndarray, words: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """Boolean mask: all k probe bits set (superset of true members)."""
-    pos = _positions(keys, m_bits, k)
-    hit = (
-        words[(pos >> np.uint64(6)).astype(np.int64)]
-        >> (pos & np.uint64(63))
-    ) & np.uint64(1)
-    return hit.all(axis=1)
 
 
 def bloom_semi_revenue(
@@ -193,8 +93,8 @@ def bloom_semi_revenue(
     build = orders.filter(
         expr=f"o_orderpriority == '{priority}'"
     ).select_columns(["o_orderkey"])
-    words = build_bloom(build, "o_orderkey", m_bits=m_bits, k=k)
-    bloom_ref = ray.put(words)
+    bf = bloom_of_dataset_sparse(build, "o_orderkey", num_bits=m_bits, num_hashes=k)
+    bloom_ref = ray.put(bf)
 
     part_schema = pa.schema(
         [
@@ -212,9 +112,9 @@ def bloom_semi_revenue(
     def probe_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
-        w = ray.get(bloom_ref)
+        bf_ = ray.get(bloom_ref)
         keys = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = _member(keys, w, m_bits, k)
+        keep = bf_.contains_many(keys)
         if not keep.any():
             return empty
         batch = batch.filter(pa.array(keep))
@@ -327,20 +227,20 @@ def bloom_prefilter(
     ``relational.bucket_hash_join`` (or a groupby verify as above) when
     exact semantics are required; use alone where a small false-positive
     rate is acceptable (e.g. candidate generation)."""
-    words = build_bloom(
-        build.select_columns([build_on]), build_on, m_bits=m_bits, k=k
+    bf = bloom_of_dataset_sparse(
+        build.select_columns([build_on]), build_on, num_bits=m_bits, num_hashes=k
     )
-    ref = ray.put(words)
+    ref = ray.put(bf)
 
     def filt(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        w = ray.get(ref)
+        bf_ = ray.get(ref)
         keys = (
             pc.cast(batch[probe_on], pa.int64())
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        return batch.filter(pa.array(_member(keys, w, m_bits, k)))
+        return batch.filter(pa.array(bf_.contains_many(keys)))
 
     return probe.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -123,10 +123,26 @@ def test_bloom_params_for():
     assert m2 >= 64 and k2 >= 1
 
 
-def test_build_bloom_membership(tables):
+def test_sparse_build_matches_dense(tables):
+    """The sparse distributed build must produce the SAME filter as the
+    dense per-block fold and the single-process add_many — and contain
+    every build key (no false negatives by construction)."""
+    from azure_blob_crawler_ray.functions import bloom as fbloom
+
     _, od = tables
     build = od.filter(expr="o_orderpriority == '1-URGENT'")
     m_bits, k = 1 << 16, 5
-    words = bloomjoin.build_bloom(build, "o_orderkey", m_bits=m_bits, k=k)
-    keys = build.to_pandas()["o_orderkey"].to_numpy().astype(np.int64)
-    assert bloomjoin._member(keys, words, m_bits, k).all()
+    sparse = fbloom.bloom_of_dataset_sparse(
+        build.select_columns(["o_orderkey"]), "o_orderkey",
+        num_bits=m_bits, num_hashes=k,
+    )
+    dense = fbloom.bloom_of_dataset(
+        build.select_columns(["o_orderkey"]), "o_orderkey",
+        num_bits=m_bits, num_hashes=k,
+    )
+    keys = build.to_pandas()["o_orderkey"].to_numpy().astype(np.uint64)
+    local = fbloom.BloomFilter(num_bits=m_bits, num_hashes=k)
+    local.add_many(keys)
+    assert np.array_equal(sparse.bits, dense.bits)
+    assert np.array_equal(sparse.bits, local.bits)
+    assert sparse.contains_many(keys).all()

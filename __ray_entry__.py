@@ -663,6 +663,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "embeddings", ["vec_id", "embedding"]), k=4
         )
 
+    def q_source_count_join(sf):
+        return relational.source_count_join(
+            _read(sf, "documents", ["doc_id", "source"])
+        )
+
     def q_bloom_semi_revenue(sf):
         from azure_blob_crawler_ray.pipelines import bloomjoin
 
@@ -1356,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_whiten": q_pca_whiten,
         "kmeans_clusters": q_kmeans_clusters,
         "bloom_semi_revenue": q_bloom_semi_revenue,
+        "source_count_join": q_source_count_join,
         "top_terms_per_lang": q_top_terms_per_lang,
         "dedup_keep_best": q_dedup_keep_best,
         "media_frame_sample": q_media_frame_sample,
@@ -2095,6 +2101,15 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / n)
                      / n / 1099511627776.0 AS cov
             FROM p ORDER BY i, j
+        """,
+        # String-keyed bucket join (hash64(source) places rows, the
+        # merge matches on the string itself — exact).
+        "source_count_join": """
+            SELECT d.doc_id, d.source, s.n_docs
+            FROM documents d
+            JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY source) s USING (source)
+            ORDER BY d.doc_id
         """,
         # Exact fact-side semi-join (Bloom prefilter + bucketed exact
         # verify in the engine; the filter is sound + verified, so plain

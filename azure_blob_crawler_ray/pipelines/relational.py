@@ -3162,10 +3162,12 @@ def bucket_hash_join(
     columns ride as typed nulls), exchanged once on a mixed key hash
     (~``num_buckets`` uniform groups), and merged per bucket with
     side-separated pandas frames (each side's own columns are null-free,
-    so integer dtypes survive). Keys must be integer-castable; output
-    columns = left columns + right columns minus the right key, with the
-    declared schemas' types restored. Join output per bucket must fit a
-    worker — at 100 TB raise num_buckets with data volume."""
+    so integer dtypes survive). Keys may be integer-castable OR strings
+    (string keys bucket via ``hashing.hash64`` and merge on the string
+    itself — URL-/domain-keyed joins at 100 TB); output columns = left
+    columns + right columns minus the right key, with the declared
+    schemas' types restored. Join output per bucket must fit a worker —
+    at 100 TB raise num_buckets with data volume."""
     MIX = np.uint64(0x9E3779B97F4A7C15)
     lnames = [f.name for f in left_schema]
     rnames = [f.name for f in right_schema if f.name != right_on]
@@ -3179,22 +3181,48 @@ def bucket_hash_join(
         (n, right_schema.field(n).type) for n in rnames
     ]
     out_schema = pa.schema(all_fields)
+    # string keys bucket via the repo's stable 64-bit string hash
+    # (hashing.hash64) and merge on the STRING itself in-bucket — the
+    # hash only places rows, so collisions cannot create false matches;
+    # the 100 TB URL-/domain-keyed joins need exactly this path
+    lk_str = pa.types.is_string(left_schema.field(left_on).type) or pa.types.is_large_string(
+        left_schema.field(left_on).type
+    )
+    rk_str = pa.types.is_string(right_schema.field(right_on).type) or pa.types.is_large_string(
+        right_schema.field(right_on).type
+    )
+    if lk_str != rk_str:
+        raise ValueError(
+            "bucket_hash_join: key dtypes disagree — one side is string, "
+            "the other integer; cast before joining"
+        )
+    key_is_str = lk_str
 
     def tag(side: int, key_col: str, own: List[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            k = (
-                pc.cast(batch[key_col], pa.int64())
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            n = len(k)
-            bucket = ((k.astype(np.uint64) * MIX) % np.uint64(num_buckets)).astype(
-                np.int32
-            )
+            if key_is_str:
+                from ..hashing import hash64
+
+                karr = pc.cast(batch[key_col], pa.string())
+                h = hash64(karr)
+                n = len(h)
+                bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+                key_arr = karr
+            else:
+                k = (
+                    pc.cast(batch[key_col], pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                n = len(k)
+                bucket = ((k.astype(np.uint64) * MIX) % np.uint64(num_buckets)).astype(
+                    np.int32
+                )
+                key_arr = pa.array(k)
             cols = {
                 "__bucket": pa.array(bucket),
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
-                "__key": pa.array(k),
+                "__key": key_arr,
             }
             for name, typ in all_fields:
                 if name in own:
@@ -3245,6 +3273,48 @@ def bucket_hash_join(
         )
     )
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def source_count_join(
+    docs: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Every document tagged with its source's corpus-wide doc count —
+    a STRING-keyed fact -> aggregate join: (doc_id, source, n_docs).
+
+    Exercises ``bucket_hash_join``'s string-key path end to end: the
+    counts reduce map-side first (one Arrow group_by per block, then a
+    tiny source groupby), and the join back to the fact side buckets on
+    ``hash64(source)`` while merging on the string itself.  At this
+    source cardinality a broadcast map would also work; the bucket join
+    is the shape that still works when the key is a URL/domain column
+    with corpus-scale cardinality."""
+    fact = docs.select_columns(["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = t.group_by(["source"]).aggregate([("n_docs", "sum")])
+        return pa.table({"source": agg["source"], "n_docs": agg["n_docs_sum"]})
+
+    counts = (
+        docs.select_columns(["source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return bucket_hash_join(
+        fact,
+        counts,
+        left_on="source",
+        right_on="source",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
+        right_schema=pa.schema([("source", pa.string()), ("n_docs", pa.int64())]),
+        num_buckets=num_buckets,
+    ).sort("doc_id")
 
 
 def large_volume_customers(

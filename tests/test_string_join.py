@@ -1,0 +1,116 @@
+"""String-keyed bucket_hash_join: DuckDB parity, direct-join equality
+vs a pandas merge, layout invariance, and the dtype-mismatch guard."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from azure_blob_crawler_ray.pipelines import relational
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+
+def test_source_count_join_vs_duckdb(docs):
+    import __ray_entry__ as entrymod
+
+    eng = (
+        relational.source_count_join(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(entrymod.oracle_sql()["source_count_join"]).fetchdf()
+    assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert eng["source"].tolist() == ora["source"].tolist()
+    assert np.array_equal(eng["n_docs"].to_numpy(), ora["n_docs"].to_numpy())
+
+
+def test_string_bucket_join_direct():
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b", "b", "c", "zz", "a"]),
+                "v": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["b", "c", "d"]),
+                "w": pa.array([10, 20, 30], type=pa.int64()),
+            }
+        )
+    )
+    out = (
+        relational.bucket_hash_join(
+            left,
+            right,
+            left_on="k",
+            right_on="k",
+            left_schema=pa.schema([("k", pa.string()), ("v", pa.int64())]),
+            right_schema=pa.schema([("k", pa.string()), ("w", pa.int64())]),
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": ["a", "b", "b", "c", "zz", "a"], "v": [1, 2, 3, 4, 5, 6]})
+        .merge(pd.DataFrame({"k": ["b", "c", "d"], "w": [10, 20, 30]}), on="k")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == want["k"].tolist()
+    assert out["v"].tolist() == want["v"].tolist()
+    assert out["w"].tolist() == want["w"].tolist()
+
+
+def test_source_count_join_layout_invariance(docs):
+    a = (
+        relational.source_count_join(docs.repartition(2))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    b = (
+        relational.source_count_join(docs.repartition(7))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_mixed_key_dtypes_rejected():
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a"]), "v": pa.array([1], type=pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"j": pa.array([1], type=pa.int64()), "w": pa.array([2], type=pa.int64())})
+    )
+    with pytest.raises(ValueError, match="dtypes disagree"):
+        relational.bucket_hash_join(
+            left,
+            right,
+            left_on="k",
+            right_on="j",
+            left_schema=pa.schema([("k", pa.string()), ("v", pa.int64())]),
+            right_schema=pa.schema([("j", pa.int64()), ("w", pa.int64())]),
+        )

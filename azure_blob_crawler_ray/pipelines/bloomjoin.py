@@ -200,7 +200,11 @@ def bloom_semi_revenue(
     tagged = probe.union(
         build.map_batches(build_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
-    return (
+    # the final aggregate is <= #returnflags rows by construction —
+    # finish driver-side with an explicit schema so an EMPTY result (no
+    # build keys / no survivors) still carries the declared columns (an
+    # empty Ray groupby loses its schema; see tpch3.nation_trade_volume)
+    agg = (
         tagged.groupby("__bucket")
         .map_groups(verify, batch_format="pyarrow")
         .groupby("l_returnflag")
@@ -209,7 +213,27 @@ def bloom_semi_revenue(
             _Sum("sum_qty", alias_name="sum_qty"),
             _Sum("revenue_cents", alias_name="revenue_cents"),
         )
-        .sort("l_returnflag")
+        .to_pandas()
+    )
+    if len(agg):
+        agg = agg.sort_values("l_returnflag", kind="mergesort")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(
+                    list(agg.get("l_returnflag", [])), type=pa.string()
+                ),
+                "n_rows": pa.array(
+                    np.asarray(agg.get("n_rows", []), dtype=np.int64)
+                ),
+                "sum_qty": pa.array(
+                    np.asarray(agg.get("sum_qty", []), dtype=np.int64)
+                ),
+                "revenue_cents": pa.array(
+                    np.asarray(agg.get("revenue_cents", []), dtype=np.int64)
+                ),
+            }
+        )
     )
 
 

@@ -113,6 +113,17 @@ def test_prefilter_sound_and_selective(tables):
     assert len(got) <= len(truth) + 0.01 * n_total
 
 
+def test_empty_build_keeps_schema(tables):
+    """No matching build keys -> 0 rows but the DECLARED columns (the
+    empty-groupby schema-loss pitfall, guarded driver-side)."""
+    li, od = tables
+    ds = bloomjoin.bloom_semi_revenue(li, od, priority="9-NONE")
+    assert ds.count() == 0
+    # Dataset.to_pandas() drops columns on an empty dataset (Ray quirk);
+    # the schema is the operator's contract and must survive
+    assert ds.schema().names == ["l_returnflag", "n_rows", "sum_qty", "revenue_cents"]
+
+
 def test_bloom_params_for():
     m, k = bloomjoin.bloom_params_for(1_000_000, 0.01)
     assert m % 64 == 0

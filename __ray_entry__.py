@@ -928,6 +928,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "part", ["p_partkey", "p_type"]),
         )
 
+    def q_customer_order_distribution(sf):
+        from azure_blob_crawler_ray.pipelines import tpch3
+
+        return tpch3.customer_order_distribution(
+            _read(sf, "customer", ["c_custkey"]),
+            _read(sf, "orders", ["o_custkey", "o_orderpriority"]),
+        )
+
+    def q_user_activity_full(sf):
+        from azure_blob_crawler_ray.pipelines import relational
+
+        return relational.user_activity_full(
+            _read(sf, "events", ["user_id", "event_type"])
+        )
+
     def q_product_profit(sf):
         from azure_blob_crawler_ray.pipelines import tpch3
 
@@ -1437,6 +1452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": q_forecast_revenue,
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
+        "customer_order_distribution": q_customer_order_distribution,
+        "user_activity_full": q_user_activity_full,
         "product_profit": q_product_profit,
         "nation_part_value": q_nation_part_value,
         "returnflag_priority_counts": q_returnflag_priority_counts,
@@ -3165,6 +3182,35 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         # TPC-H Q7-shaped: two-nation shipping volume by direction and year
+        # TPC-H Q13: filtered LEFT OUTER JOIN with zero-count preservation
+        "customer_order_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '5-LOW'
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # FULL OUTER JOIN of two derived per-user aggregates
+        "user_activity_full": """
+            WITH a AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_click
+                FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), b AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchase
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+                   a.n_click, b.n_purchase
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+            ORDER BY user_id
+        """,
         "nation_trade_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,

@@ -4131,3 +4131,74 @@ def cumulative_revenue(orders: ray.data.Dataset) -> ray.data.Dataset:
     )
     series["cum_cents"] = series["month_cents"].cumsum().astype(np.int64)
     return series
+
+
+def user_activity_full(
+    events: ray.data.Dataset,
+    *,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> ray.data.Dataset:
+    """FULL OUTER JOIN of two derived per-user aggregates — count of
+    ``type_a`` events per user vs count of ``type_b`` events per user,
+    one row per user who did EITHER, with a typed NULL on the side the
+    user never touched (exactly SQL's ``a FULL OUTER JOIN b ON
+    a.user_id = b.user_id`` output, COALESCEd key).
+
+    The outer-join twin of ``user_type_sets``: that operator returns set
+    MEMBERSHIP (both / a_only); this one returns the joined VALUE rows
+    with null preservation, which is the shape a curation pipeline needs
+    when merging two optional per-document annotation tables.
+
+    Scale shape: no join at all — both sides come off the same fact scan.
+    One pass tags each event with (n_a, n_b, has_a, has_b) and a
+    per-batch Arrow group_by collapses to one row per user×batch, so the
+    single groupby(user_id) exchange carries one narrow row per
+    user×batch. NULLs are re-introduced map-side post-aggregate from the
+    has_* flags (a SUM of 0s cannot distinguish "no rows" from "sum 0",
+    the flags can). Nothing reaches the driver."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        a = pc.cast(pc.equal(et, pa.scalar(type_a)), pa.int64())
+        b = pc.cast(pc.equal(et, pa.scalar(type_b)), pa.int64())
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "n_a": a,
+                "n_b": b,
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate([("n_a", "sum"), ("n_b", "sum")])
+        t2 = pa.table(
+            {
+                "user_id": g["user_id"],
+                "n_a": g["n_a_sum"],
+                "n_b": g["n_b_sum"],
+            }
+        )
+        either = pc.or_(
+            pc.greater(t2["n_a"], pa.scalar(0, type=pa.int64())),
+            pc.greater(t2["n_b"], pa.scalar(0, type=pa.int64())),
+        )
+        return t2.filter(either)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                f"n_{type_a}": pa.array(na, type=pa.int64(), mask=na == 0),
+                f"n_{type_b}": pa.array(nb, type=pa.int64(), mask=nb == 0),
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("user_id")
+    )

@@ -1398,3 +1398,106 @@ def sole_return_suppliers(
             }
         )
     )
+
+
+def customer_order_distribution(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    *,
+    exclude_priority: str = "5-LOW",
+    fk_assumed: bool = True,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """TPC-H Q13: customer LEFT OUTER JOIN orders (with a filter on the
+    JOIN side, so unmatched customers keep c_count = 0), count qualifying
+    orders per customer, then the distribution of those counts —
+    (c_count, custdist) ordered by custdist DESC, c_count DESC.
+
+    This is the one join family the repo lacked a first-class entry for:
+    an OUTER join whose unmatched-left rows must survive into the
+    aggregate. The reference's search surface has no outer join; the
+    shape comes from the curation side (documents joined to an optional
+    per-doc annotation table where "no annotation" is a real category).
+
+    Scale shape: NO row-level outer join is ever materialized. The
+    filtered fact side pre-aggregates map-side (one Arrow group_by per
+    block) and shuffles one narrow (custkey, n) row per customer×block;
+    the per-customer counts then collapse to a histogram whose second
+    exchange is distribution-sized. The LEFT-outer zero bucket is pure
+    arithmetic: |customer| − |customers with ≥1 qualifying order| — two
+    O(1) driver scalars, appended as one row. ``fk_assumed=True``
+    (TPC-H/DuckDB FK integrity: every o_custkey exists in customer)
+    skips the semi-join of the count table against customer keys; with
+    ``fk_assumed=False`` the counts are exact-semi-joined to customer
+    via ``bucket_hash_join`` first, so orphan o_custkeys neither enter
+    the histogram nor deflate the zero bucket."""
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.not_equal(batch["o_orderpriority"], pa.scalar(exclude_priority))
+        )
+        g = pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ).group_by(["o_custkey"]).aggregate([("n", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "n": g["n_sum"]})
+
+    cnt = (
+        orders.select_columns(["o_custkey", "o_orderpriority"])
+        .map_batches(ord_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    if not fk_assumed:
+        def cust_keys(batch: pa.Table) -> pa.Table:
+            return pa.table({"c_custkey": pc.cast(batch["c_custkey"], pa.int64())})
+
+        cnt = bucket_hash_join(
+            cnt,
+            customer.select_columns(["c_custkey"]).map_batches(
+                cust_keys, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            left_on="o_custkey",
+            right_on="c_custkey",
+            left_schema=pa.schema([("o_custkey", pa.int64()), ("c_count", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64())]),
+            num_buckets=num_buckets,
+        ).select_columns(["o_custkey", "c_count"])
+
+    cnt = cnt.materialize()
+    n_cust = customer.select_columns(["c_custkey"]).count()
+    n_active = cnt.count()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        col = batch["c_count"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table(
+            {
+                "c_count": pc.cast(vc.field("values"), pa.int64()),
+                "custdist": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        cnt.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+    zero = n_cust - n_active
+    if zero > 0:
+        hist = hist.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "c_count": pa.array([0], type=pa.int64()),
+                        "custdist": pa.array([zero], type=pa.int64()),
+                    }
+                )
+            )
+        )
+    return hist.sort(["custdist", "c_count"], descending=[True, True])

@@ -3144,6 +3144,7 @@ def bucket_hash_join(
     right_schema: "pa.Schema",
     num_buckets: int = 64,
     tag_batch_size: int = 262_144,
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Distributed INNER equi-join as ONE coarse-bucket groupby + an
     in-bucket vectorized pandas merge — the empty-partition-safe
@@ -3167,7 +3168,22 @@ def bucket_hash_join(
     itself — URL-/domain-keyed joins at 100 TB); output columns = left
     columns + right columns minus the right key, with the declared
     schemas' types restored. Join output per bucket must fit a worker —
-    at 100 TB raise num_buckets with data volume."""
+    at 100 TB raise num_buckets with data volume.
+
+    ``salt`` > 1 is the hot-key (skew) escape hatch: a Zipf-hot key
+    hashes every one of its rows into ONE bucket, so that bucket's merge
+    becomes the straggler (and at 100 TB, the OOM). With salting, each
+    LEFT row lands in one of ``salt`` sub-buckets of its key's bucket
+    (round-robin within the batch — placement-only, so block layout
+    cannot change the join OUTPUT), and every RIGHT row is REPLICATED
+    into all ``salt`` sub-buckets; each left row still meets every
+    matching right row exactly once, so the output set is identical
+    while the hottest bucket shrinks ~``salt``-fold. Pass the SMALLER
+    side as right when salting (its rows ship ``salt`` times); salting
+    cannot help a key that is hot on BOTH sides (the join output itself
+    is quadratic in that key — filter or pre-aggregate it instead)."""
+    if salt < 1:
+        raise ValueError(f"bucket_hash_join: salt must be >= 1, got {salt}")
     MIX = np.uint64(0x9E3779B97F4A7C15)
     lnames = [f.name for f in left_schema]
     rnames = [f.name for f in right_schema if f.name != right_on]
@@ -3219,17 +3235,31 @@ def bucket_hash_join(
                     np.int32
                 )
                 key_arr = pa.array(k)
-            cols = {
-                "__bucket": pa.array(bucket),
-                "__side": pa.array(np.full(n, side, dtype=np.int8)),
-                "__key": key_arr,
-            }
-            for name, typ in all_fields:
-                if name in own:
-                    cols[name] = pc.cast(batch[name], typ)
-                else:
-                    cols[name] = pa.nulls(n, type=typ)
-            return pa.table(cols)
+            def one(bucket_arr: np.ndarray) -> pa.Table:
+                cols = {
+                    "__bucket": pa.array(bucket_arr),
+                    "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                    "__key": key_arr,
+                }
+                for name, typ in all_fields:
+                    if name in own:
+                        cols[name] = pc.cast(batch[name], typ)
+                    else:
+                        cols[name] = pa.nulls(n, type=typ)
+                return pa.table(cols)
+
+            if salt == 1:
+                return one(bucket)
+            if side == 0:
+                # probe side: spread rows round-robin over the salt
+                # sub-buckets of their key bucket (placement-only)
+                s = (np.arange(n, dtype=np.int64) % salt).astype(np.int32)
+                return one(bucket * np.int32(salt) + s)
+            # build side: replicate into every sub-bucket
+            parts = [
+                one(bucket * np.int32(salt) + np.int32(s)) for s in range(salt)
+            ]
+            return pa.concat_tables(parts)
 
         return fn
 

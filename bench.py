@@ -322,6 +322,8 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "ccnet_buckets",
         "dsir_select",
         "lexical_diversity",
+        "customer_order_distribution",
+        "user_activity_full",
     ]
     out = {}
     for name in names:

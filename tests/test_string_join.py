@@ -114,3 +114,72 @@ def test_mixed_key_dtypes_rejected():
             left_schema=pa.schema([("k", pa.string()), ("v", pa.int64())]),
             right_schema=pa.schema([("j", pa.int64()), ("w", pa.int64())]),
         )
+
+
+def test_salted_join_identical_under_hot_key():
+    """salt>1 splits a Zipf-hot bucket without changing the join output
+    (placement-only salting; build side replicated into sub-buckets)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines.relational import bucket_hash_join
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    keys = np.where(rng.random(n) < 0.5, 1, rng.integers(1, 500, n)).astype(np.int64)
+    left = ray.data.from_arrow(
+        pa.table({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    ).repartition(8)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": np.arange(1, 500, dtype=np.int64),
+                "name": [f"n{i}" for i in range(1, 500)],
+            }
+        )
+    )
+    ls = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    rs = pa.schema([("rk", pa.int64()), ("name", pa.string())])
+    kw = dict(left_on="k", right_on="rk", left_schema=ls, right_schema=rs,
+              num_buckets=8)
+    a = bucket_hash_join(left, right, **kw).to_pandas()
+    b = bucket_hash_join(left, right, salt=4, **kw).to_pandas()
+    a = a.sort_values(["k", "v"]).reset_index(drop=True)
+    b = b.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == n  # every probe row matched exactly once
+
+
+def test_salted_join_string_keys_and_bad_salt():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines.relational import bucket_hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(["a.com"] * 100 + ["b.com", "c.com"] * 10),
+                "n": pa.array(np.arange(120, dtype=np.int64)),
+            }
+        )
+    ).repartition(4)
+    right = ray.data.from_arrow(
+        pa.table({"h": ["a.com", "b.com", "c.com"], "rank": [1, 2, 3]})
+    )
+    ls = pa.schema([("host", pa.string()), ("n", pa.int64())])
+    rs = pa.schema([("h", pa.string()), ("rank", pa.int64())])
+    kw = dict(left_on="host", right_on="h", left_schema=ls, right_schema=rs,
+              num_buckets=4)
+    a = bucket_hash_join(left, right, **kw).to_pandas()
+    b = bucket_hash_join(left, right, salt=3, **kw).to_pandas()
+    a = a.sort_values(["host", "n"]).reset_index(drop=True)
+    b = b.sort_values(["host", "n"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="salt"):
+        bucket_hash_join(left, right, salt=0, **kw)

@@ -2,8 +2,7 @@
 composition a training-data team actually runs, as one pipeline:
 
     crawl (interleaved documents table)
-      -> quality gate        gopher_quality signals, map-only
-      -> kept-row semi-join  ONE doc_id-bucket union shuffle
+      -> quality gate        gopher verdict fused in place, map-only
       -> exact dedup         content-hash groupby, min-id keeper
       -> keeper semi-join    ONE doc_id-bucket union shuffle
       -> sequence packing    hierarchical prefix-sum (pack_sequences)
@@ -28,7 +27,7 @@ import ray.data
 
 from ..config import CrawlConfig
 from .crawl import run_crawl
-from .dataprep import exact_dedup, gopher_quality, pack_sequences
+from .dataprep import exact_dedup, gopher_filter_docs, pack_sequences
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -90,9 +89,9 @@ def curate_documents(
     one row per surviving document with its bin assignment.
     ``quality_kw`` tunes the Gopher gate to the corpus vocabulary (the
     defaults are calibrated for English prose)."""
-    quality = gopher_quality(docs, **(quality_kw or {}))
-    kept_ids = quality.filter(expr="kept == 1").select_columns(["doc_id"])
-    kept_docs = _semi_join_docs(docs, kept_ids, "doc_id")
+    # quality gate fused in place (same kernel as gopher_quality; saves
+    # the doc_id-bucket shuffle the verdict->text semi-join would cost)
+    kept_docs = gopher_filter_docs(docs, **(quality_kw or {}))
     keepers = exact_dedup(kept_docs).select_columns(["doc_id"])
     unique_docs = _semi_join_docs(kept_docs, keepers, "doc_id")
     return pack_sequences(unique_docs, capacity=capacity)

@@ -2491,35 +2491,22 @@ def _per_doc_distinct(did: np.ndarray, g: pa.Array) -> Dict[int, int]:
     )
 
 
-def gopher_quality(
-    docs: ray.data.Dataset,
-    *,
-    min_words: int = 40,
-    mean_len_lo_x10: int = 38,
-    mean_len_hi_x10: int = 48,
-    min_stop_hits: int = 1,
-    min_distinct_x10: int = 4,
-    stopwords: Tuple[str, ...] = ("the", "a", "and", "of", "to"),
-) -> ray.data.Dataset:
-    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1):
-    per doc the rule inputs (word count, total word chars, distinct
-    words, stopword hits) and an integer ``kept`` verdict:
-
-      kept = n_words >= min_words
-           AND mean_len_lo_x10*n_words <= 10*total_word_chars
-                                       <= mean_len_hi_x10*n_words
-           AND stop_hits >= min_stop_hits
-           AND 10*distinct_words >= min_distinct_x10*n_words
-
-    All comparisons are integer-exact (the x10 scaling avoids float
-    ratios), so the DuckDB oracle hash-matches. MAP-ONLY — one pass,
-    no shuffle: every signal is per-document, computed vectorized
-    (cumsum segment sums + one Arrow group_by per batch for the
-    distinct counts). Docs with zero words are dropped (the SQL twin's
-    unnest produces no rows for them)."""
+def _gopher_arrays_fn(
+    min_words: int,
+    mean_len_lo_x10: int,
+    mean_len_hi_x10: int,
+    min_stop_hits: int,
+    min_distinct_x10: int,
+    stopwords: Tuple[str, ...],
+):
+    """The shared per-batch verdict kernel behind ``gopher_quality``
+    (signal table) and ``gopher_filter_docs`` (fused in-place filter):
+    returns (doc_ids, n_words, total_chars, stop_hits, distinct, kept,
+    has_words) arrays for one batch. One definition so the two callers
+    cannot drift."""
     stop_set = pa.array(list(stopwords), type=pa.string())
 
-    def fn(batch: pa.Table) -> pa.Table:
+    def arrays(batch: pa.Table):
         vals, starts, lens = _token_slices(batch)
         ends = starts + lens
         did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2555,6 +2542,44 @@ def gopher_quality(
             & (stop_hits >= min_stop_hits)
             & (10 * distinct >= min_distinct_x10 * lens)
         ).astype(np.int32)
+        return did, lens, total_chars, stop_hits, distinct, kept, lens > 0
+
+    return arrays
+
+
+def gopher_quality(
+    docs: ray.data.Dataset,
+    *,
+    min_words: int = 40,
+    mean_len_lo_x10: int = 38,
+    mean_len_hi_x10: int = 48,
+    min_stop_hits: int = 1,
+    min_distinct_x10: int = 4,
+    stopwords: Tuple[str, ...] = ("the", "a", "and", "of", "to"),
+) -> ray.data.Dataset:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1):
+    per doc the rule inputs (word count, total word chars, distinct
+    words, stopword hits) and an integer ``kept`` verdict:
+
+      kept = n_words >= min_words
+           AND mean_len_lo_x10*n_words <= 10*total_word_chars
+                                       <= mean_len_hi_x10*n_words
+           AND stop_hits >= min_stop_hits
+           AND 10*distinct_words >= min_distinct_x10*n_words
+
+    All comparisons are integer-exact (the x10 scaling avoids float
+    ratios), so the DuckDB oracle hash-matches. MAP-ONLY — one pass,
+    no shuffle: every signal is per-document, computed vectorized
+    (cumsum segment sums + one Arrow group_by per batch for the
+    distinct counts). Docs with zero words are dropped (the SQL twin's
+    unnest produces no rows for them)."""
+    arrays = _gopher_arrays_fn(
+        min_words, mean_len_lo_x10, mean_len_hi_x10,
+        min_stop_hits, min_distinct_x10, stopwords,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        did, lens, total_chars, stop_hits, distinct, kept, keep = arrays(batch)
         return pa.table(
             {
                 "doc_id": pa.array(did[keep]),
@@ -2565,6 +2590,36 @@ def gopher_quality(
                 "kept": pa.array(kept[keep]),
             }
         )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def gopher_filter_docs(
+    docs: ray.data.Dataset,
+    *,
+    min_words: int = 40,
+    mean_len_lo_x10: int = 38,
+    mean_len_hi_x10: int = 48,
+    min_stop_hits: int = 1,
+    min_distinct_x10: int = 4,
+    stopwords: Tuple[str, ...] = ("the", "a", "and", "of", "to"),
+) -> ray.data.Dataset:
+    """The fused form of ``gopher_quality`` + kept-row semi-join: docs
+    rows (doc_id, text) whose Gopher verdict is kept == 1, decided
+    IN PLACE on the same batch that carries the text — zero exchanges
+    where the compose-from-parts form pays a doc_id-bucket shuffle to
+    re-attach text to the verdicts. Same kernel (``_gopher_arrays_fn``),
+    so the kept set is identical by construction."""
+    arrays = _gopher_arrays_fn(
+        min_words, mean_len_lo_x10, mean_len_hi_x10,
+        min_stop_hits, min_distinct_x10, stopwords,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, _, _, _, _, kept, _ = arrays(batch)
+        return batch.select(["doc_id", "text"]).filter(pa.array(kept.astype(bool)))
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True

@@ -39,3 +39,28 @@ def test_curate_documents_matches_sequential_twin():
     want_bins = (cum // 500).astype(np.int64)
     assert out["bin"].to_numpy().tolist() == want_bins.tolist()
     assert out["tokens"].to_numpy().tolist() == toks.tolist()
+
+
+def test_gopher_filter_docs_equals_composed_form():
+    """The fused in-place gopher filter keeps exactly the docs the
+    signal-table form marks kept==1 (shared kernel, zero drift)."""
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines.dataprep import (
+        gopher_filter_docs,
+        gopher_quality,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    fused = sorted(
+        gopher_filter_docs(docs).select_columns(["doc_id"]).to_pandas()["doc_id"]
+    )
+    composed = sorted(
+        gopher_quality(docs)
+        .filter(expr="kept == 1")
+        .select_columns(["doc_id"])
+        .to_pandas()["doc_id"]
+    )
+    assert fused == composed and len(fused) > 0

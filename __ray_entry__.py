@@ -943,6 +943,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events", ["user_id", "event_type"])
         )
 
+    def q_party_nations(sf):
+        from azure_blob_crawler_ray.pipelines import relational
+
+        return relational.party_nations(
+            _read(sf, "customer", ["c_nationkey"]),
+            _read(sf, "supplier", ["s_nationkey"]),
+        )
+
     def q_product_profit(sf):
         from azure_blob_crawler_ray.pipelines import tpch3
 
@@ -1454,6 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": q_market_share,
         "customer_order_distribution": q_customer_order_distribution,
         "user_activity_full": q_user_activity_full,
+        "party_nations": q_party_nations,
         "product_profit": q_product_profit,
         "nation_part_value": q_nation_part_value,
         "returnflag_priority_counts": q_returnflag_priority_counts,
@@ -3182,6 +3191,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         # TPC-H Q7-shaped: two-nation shipping volume by direction and year
+        # cross-table UNION ALL + aggregate
+        "party_nations": """
+            SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_parties
+            FROM (
+                SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+                UNION ALL
+                SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            )
+            GROUP BY nationkey ORDER BY nationkey
+        """,
         # TPC-H Q13: filtered LEFT OUTER JOIN with zero-count preservation
         "customer_order_distribution": """
             SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist

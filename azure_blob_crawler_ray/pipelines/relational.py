@@ -4232,3 +4232,43 @@ def user_activity_full(
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
         .sort("user_id")
     )
+
+
+def party_nations(
+    customer: ray.data.Dataset, supplier: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Cross-table UNION ALL + aggregate — parties (customers +
+    suppliers) per nation, the one set-op over TWO tables the contract
+    lacked (user_type_sets covers INTERSECT/EXCEPT over derived sets of
+    one table). SQL: SELECT nationkey, COUNT(*) FROM (c_nationkey
+    UNION ALL s_nationkey) GROUP BY nationkey.
+
+    Scale shape: each side projects to its key and pre-counts per batch
+    (one Arrow group_by), the union concatenates lazily block-wise (no
+    exchange), and ONE nation-sized groupby folds the partials."""
+
+    def proj(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "nationkey": pc.cast(batch[col], pa.int64()),
+                    "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                }
+            )
+            g = t.group_by(["nationkey"]).aggregate([("n", "sum")])
+            return pa.table({"nationkey": g["nationkey"], "n": g["n_sum"]})
+
+        return fn
+
+    u = customer.select_columns(["c_nationkey"]).map_batches(
+        proj("c_nationkey"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        supplier.select_columns(["s_nationkey"]).map_batches(
+            proj("s_nationkey"), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return (
+        u.groupby("nationkey")
+        .aggregate(Sum("n", alias_name="n_parties"))
+        .sort("nationkey")
+    )

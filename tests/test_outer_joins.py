@@ -25,14 +25,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def _duck():
     con = duckdb.connect()
-    for t in ("customer", "orders", "events"):
+    for t in ("customer", "orders", "events", "supplier"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
     return con
 
 
-@pytest.mark.parametrize("name", ["customer_order_distribution", "user_activity_full"])
+@pytest.mark.parametrize(
+    "name",
+    ["customer_order_distribution", "user_activity_full", "party_nations"],
+)
 def test_matches_oracle(name):
     got = _canon(entry.queries()[name](SF).to_pandas())
     want = _canon(_duck().execute(entry.oracle_sql()[name]).df())

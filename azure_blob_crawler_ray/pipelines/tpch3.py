@@ -1470,6 +1470,19 @@ def customer_order_distribution(
     cnt = cnt.materialize()
     n_cust = customer.select_columns(["c_custkey"]).count()
     n_active = cnt.count()
+    if n_active == 0:
+        # empty aggregates lose their schema in ray.data (the
+        # nation_trade_volume pitfall) — return the zero bucket (or a
+        # typed empty table when there are no customers either) directly
+        rows = ([0], [n_cust]) if n_cust > 0 else ([], [])
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_count": pa.array(rows[0], type=pa.int64()),
+                    "custdist": pa.array(rows[1], type=pa.int64()),
+                }
+            )
+        )
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         col = batch["c_count"]

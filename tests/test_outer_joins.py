@@ -130,3 +130,22 @@ def test_full_outer_null_sides():
     assert got.loc[1, "n_click"] == 1 and got.loc[1, "n_purchase"] == 1
     assert got.loc[2, "n_click"] == 1 and pd.isna(got.loc[2, "n_purchase"])
     assert pd.isna(got.loc[3, "n_click"]) and got.loc[3, "n_purchase"] == 2
+
+
+def test_q13_empty_orders_keeps_schema():
+    """Zero qualifying orders must yield the single zero bucket, not a
+    schema-less empty aggregate (the empty-groupby pitfall)."""
+    customer = ray.data.from_arrow(
+        pa.table({"c_custkey": pa.array([1, 2], type=pa.int64())})
+    )
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([1], type=pa.int64()),
+                "o_orderpriority": pa.array(["5-LOW"]),  # all excluded
+            }
+        )
+    )
+    got = tpch3.customer_order_distribution(customer, orders).to_pandas()
+    assert list(got.columns) == ["c_count", "custdist"]
+    assert got.to_dict("list") == {"c_count": [0], "custdist": [2]}

@@ -4272,3 +4272,71 @@ def party_nations(
         .aggregate(Sum("n", alias_name="n_parties"))
         .sort("nationkey")
     )
+
+
+def suggest_salt(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    num_buckets: int = 64,
+    target_share: float = 1.5,
+    max_salt: int = 64,
+) -> dict:
+    """Measure, don't guess: decide whether a ``bucket_hash_join`` probe
+    side needs hot-key salting, from ONE cheap aggregate pass.
+
+    Per batch, an Arrow group_by collapses to (key, n) partials; ONE
+    groupby(key) exchange of those narrow partials yields exact per-key
+    counts, of which only the TOP key and the total (two scalars plus an
+    O(blocks) partial stream) matter — nothing vocabulary-sized reaches
+    the driver beyond the aggregate's own blocks.  The hottest bucket of
+    an unsalted join holds hot_n + (total - hot_n)/num_buckets rows in
+    expectation; salting divides the hot term by the salt.  The
+    suggested salt is the smallest power of two that brings the hottest
+    bucket under ``target_share`` x the mean bucket load (1 when the key
+    is already uniform enough).
+
+    Returns {"hot_key", "hot_n", "total", "hot_share", "salt"}.  Run it
+    once per (table, key) on a sample or the full data and cache the
+    decision — at 100 TB the pass is a key-sized aggregate, the same
+    cost class as the join's own exchange, so probe a sample (e.g.
+    ``ds.limit(10_000_000)``) when the table is the full fact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": batch[key],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["k"]).aggregate([("n", "sum")])
+        return pa.table({"k": g["k"], "n": g["n_sum"]})
+
+    counts = (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort("n", descending=True).limit(1).to_pandas()
+    total = int(
+        counts.sum("n") or 0
+    )
+    if len(top) == 0 or total == 0:
+        return {"hot_key": None, "hot_n": 0, "total": 0, "hot_share": 0.0, "salt": 1}
+    hot_n = int(top["n"].iloc[0])
+    hot_key = top["k"].iloc[0]
+    mean_bucket = total / num_buckets
+    salt = 1
+    while (
+        hot_n / salt + (total - hot_n) / num_buckets > target_share * mean_bucket
+        and salt < max_salt
+    ):
+        salt *= 2
+    return {
+        "hot_key": hot_key,
+        "hot_n": hot_n,
+        "total": total,
+        "hot_share": round(hot_n / total, 4),
+        "salt": salt,
+    }

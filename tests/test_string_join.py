@@ -183,3 +183,31 @@ def test_salted_join_string_keys_and_bad_salt():
     pd.testing.assert_frame_equal(a, b)
     with pytest.raises(ValueError, match="salt"):
         bucket_hash_join(left, right, salt=0, **kw)
+
+
+def test_suggest_salt_zipf_vs_uniform():
+    """The skew probe recommends salt>1 exactly when one key dominates,
+    and its arithmetic matches the exact per-key counts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines.relational import suggest_salt
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    hot = np.where(rng.random(n) < 0.5, 7, rng.integers(100, 2000, n)).astype(np.int64)
+    zipf = ray.data.from_arrow(pa.table({"k": hot})).repartition(8)
+    rec = suggest_salt(zipf, "k", num_buckets=16)
+    assert rec["hot_key"] == 7 and rec["total"] == n
+    assert abs(rec["hot_share"] - (hot == 7).mean()) < 1e-9
+    assert rec["salt"] > 1
+
+    uni = ray.data.from_arrow(
+        pa.table({"k": rng.integers(0, 10_000, n).astype(np.int64)})
+    ).repartition(8)
+    rec_u = suggest_salt(uni, "k", num_buckets=16)
+    assert rec_u["salt"] == 1
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    assert suggest_salt(empty, "k")["salt"] == 1

@@ -1131,6 +1131,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             group_col="lang",
         )
 
+    def q_trimmed_mean_price(sf):
+        return relational.group_trimmed_mean(
+            _read(sf, "lineitem", ["l_returnflag", "l_extendedprice"]),
+            value_col="l_extendedprice",
+            group_col="l_returnflag",
+            lo_q=0.05,
+            hi_q=0.95,
+        )
+
     def q_pareto_front(sf):
         return relational.pareto_front(
             _read(sf, "part", ["p_partkey", "p_retailprice", "p_size"])
@@ -1479,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_topk": q_mmr_topk,
         "pareto_front": q_pareto_front,
         "length_quantiles_cont": q_length_quantiles_cont,
+        "trimmed_mean_price": q_trimmed_mean_price,
         "incremental_agg": q_incremental_agg,
         "regr_price_qty": q_regr_price_qty,
         "robust_length_outliers": q_robust_length_outliers,
@@ -3537,6 +3547,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, 0.75, quantile_cont(n_chars, 0.75)
                 FROM documents GROUP BY lang
             ) ORDER BY lang, q
+        """,
+        # robust center: exact interpolated 5/95 percentile band per
+        # group, then an integer-cents mean of the in-band values —
+        # bounds pinned to quantile_cont, avg pinned to the engine's
+        # ROUND(sum_cents/100/n, 2)
+        "trimmed_mean_price": """
+            WITH b AS (
+                SELECT l_returnflag AS g,
+                       quantile_cont(l_extendedprice, 0.05) AS lo,
+                       quantile_cont(l_extendedprice, 0.95) AS hi
+                FROM lineitem GROUP BY l_returnflag
+            ), k AS (
+                SELECT b.g, b.lo, b.hi,
+                       CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM lineitem l JOIN b ON l.l_returnflag = b.g
+                WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+            )
+            SELECT g AS l_returnflag, lo, hi,
+                   ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*), 2)
+                       AS trimmed_avg,
+                   COUNT(*) AS n_kept
+            FROM k GROUP BY g, lo, hi
+            ORDER BY l_returnflag
         """,
         # incremental view maintenance: base view + delta merge must
         # equal the from-scratch Q1 aggregate over ALL rows

@@ -1161,6 +1161,110 @@ def group_weighted_median(
     )
 
 
+def group_trimmed_mean(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    group_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    num_value_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group TRIMMED mean — the robust center that drops the value
+    tails outside the exact interpolated [lo_q, hi_q] percentile band
+    before averaging (outlier-resistant price/length/latency centers; a
+    heavy-tail corpus statistic that a plain AVG cannot give).
+
+    Two composed passes, both already scale-shaped:
+
+      1. exact percentile_cont bounds per group via
+         ``group_quantiles_cont`` (order-statistics scheme — histogram
+         exchange of (groups x value-buckets) rows, residual-rank
+         gather; nothing corpus-scale on the driver); the resulting
+         per-group (lo, hi) map is GROUP-COUNT sized and broadcast once
+         with ``ray.put``;
+      2. one filtered aggregate: rows with lo <= v <= hi contribute
+         FLOOR(v*100+0.5) integer cents to a per-batch (map-side
+         combined) sum/count partial, then a group-count-sized global
+         groupby.  Integer cents make the sum order-independent, so the
+         result hash-matches the SQL twin exactly.
+
+    Output: (group_col, lo, hi, trimmed_avg, n_kept) sorted by group.
+    trimmed_avg = ROUND(sum_cents / 100 / n, 2) — pinned to the oracle
+    formula term for term."""
+    from ray.data.aggregate import Sum as _Sum
+
+    bounds = group_quantiles_cont(
+        ds,
+        value_col=value_col,
+        group_col=group_col,
+        qs=(lo_q, hi_q),
+        num_value_buckets=num_value_buckets,
+    ).take_all()  # 2 rows per group — group-count sized by construction
+    lohimap: dict = {}
+    for r in bounds:
+        lo, hi = lohimap.setdefault(r[group_col], [np.nan, np.nan])
+        if abs(r["q"] - lo_q) < 1e-12:
+            lohimap[r[group_col]][0] = r["value"]
+        else:
+            lohimap[r[group_col]][1] = r["value"]
+    ref = ray.put({g: (v[0], v[1]) for g, v in lohimap.items()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        g = pd.Series(batch[group_col].to_numpy(zero_copy_only=False))
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = g.map({k: b[0] for k, b in m.items()}).to_numpy(np.float64)
+        hi = g.map({k: b[1] for k, b in m.items()}).to_numpy(np.float64)
+        keep = (v >= lo) & (v <= hi)
+        cents = np.floor(v[keep] * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "g": pa.array(g[keep].to_numpy(object), type=pa.string()),
+                "cents": pa.array(cents),
+            }
+        )
+        p = t.group_by("g").aggregate([("cents", "sum"), ("cents", "count")])
+        return p.rename_columns(["g", "sum_cents", "n_kept"])
+
+    OUT_SCHEMA = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("lo", pa.float64()),
+            ("hi", pa.float64()),
+            ("trimmed_avg", pa.float64()),
+            ("n_kept", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty aggregate block loses columns
+            return OUT_SCHEMA.empty_table()
+        m = ray.get(ref)
+        gs = batch["g"].to_pylist()
+        sc = batch["sum(sum_cents)"].to_numpy(zero_copy_only=False)
+        n = batch["sum(n_kept)"].to_numpy(zero_copy_only=False)
+        avg = np.round(sc.astype(np.float64) / 100.0 / n, 2)
+        return pa.table(
+            {
+                group_col: pa.array(gs, type=pa.string()),
+                "lo": pa.array([m[g][0] for g in gs], type=pa.float64()),
+                "hi": pa.array([m[g][1] for g in gs], type=pa.float64()),
+                "trimmed_avg": pa.array(avg, type=pa.float64()),
+                "n_kept": pc.cast(batch["sum(n_kept)"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(_Sum("sum_cents"), _Sum("n_kept"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(group_col)
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

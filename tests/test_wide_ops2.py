@@ -461,3 +461,41 @@ def test_nation_share_sums_to_one_per_region():
     ).to_pandas()
     sums = out.groupby("r_name")["share_in_region"].sum()
     assert np.allclose(sums.to_numpy(), 1.0, atol=1e-5)
+
+
+def test_group_trimmed_mean_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    rng = np.random.default_rng(11)
+    g = np.repeat(["x", "y"], 500)
+    # heavy right tail so the trim actually moves the center
+    v = np.round(rng.lognormal(5, 1.2, len(g)), 2)
+    ds = ray.data.from_arrow(
+        pa.table({"flag": pa.array(g), "price": pa.array(v, type=pa.float64())})
+    ).repartition(9)
+    out = (
+        relational.group_trimmed_mean(
+            ds, value_col="price", group_col="flag", lo_q=0.05, hi_q=0.95
+        )
+        .to_pandas()
+        .set_index("flag")
+    )
+    df = pd.DataFrame({"g": g, "v": v})
+    for grp, sub in df.groupby("g"):
+        lo = np.percentile(sub["v"], 5, method="linear")
+        hi = np.percentile(sub["v"], 95, method="linear")
+        kept = sub["v"][(sub["v"] >= lo) & (sub["v"] <= hi)]
+        cents = np.floor(kept.to_numpy() * 100.0 + 0.5).astype(np.int64)
+        want = round(cents.sum() / 100.0 / len(kept), 2)
+        row = out.loc[grp]
+        assert abs(row["lo"] - lo) < 1e-9 and abs(row["hi"] - hi) < 1e-9
+        assert row["n_kept"] == len(kept)
+        assert abs(row["trimmed_avg"] - want) < 1e-12
+        # the trim is real: plain mean of a lognormal sits above the
+        # trimmed mean
+        assert row["trimmed_avg"] < sub["v"].mean()

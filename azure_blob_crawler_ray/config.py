@@ -94,3 +94,10 @@ class CrawlConfig:
     sitemap_every: int = 0          # every Nth host advertises a sitemap (0 = off)
     sitemap_urls_per_host: int = 8  # URLs each advertised sitemap contributes
     nofollow_every: int = 0         # 1/N link targets marked rel=nofollow (0 = off)
+    # crawler-trap quench: a host whose wave yields >= trap_min_fetches
+    # extracted documents of which >= trap_dup_ratio are content dups
+    # (mirror/calendar/session-id traps) is dropped from every later
+    # frontier. Requires dedup_content (the dup signal).
+    trap_quench: bool = False
+    trap_min_fetches: int = 32
+    trap_dup_ratio: float = 0.5

@@ -123,8 +123,23 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
     frontier = _frontier_from_uids(seeds, cfg, depth=0, wave=0)
     seen_add(frontier["url"])  # seeds are discovered
 
+    trapped: set = set()  # crawler-trap quench state (mirrors run_crawl)
+
     for wave in range(cfg.max_waves):
         urls = frontier["url"]
+        n_trap_blocked = 0
+        if cfg.trap_quench and trapped:
+            keep_t = [i for i, h in enumerate(frontier["host"]) if h not in trapped]
+            n_trap_blocked = len(urls) - len(keep_t)
+            frontier = {
+                "url": [frontier["url"][i] for i in keep_t],
+                "host": [frontier["host"][i] for i in keep_t],
+                "depth": np.asarray(frontier["depth"])[keep_t],
+                "priority": np.asarray(frontier["priority"])[keep_t],
+                "discovered_at": np.asarray(frontier["discovered_at"])[keep_t],
+                "attempts": np.asarray(frontier["attempts"])[keep_t],
+            }
+            urls = frontier["url"]
         if not urls:
             break
         hosts = frontier["host"]
@@ -245,6 +260,7 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
                             "spans": ex.spans(),
                         },
                         int(hash64([ex.full_content])[0]),
+                        hosts[i],
                     )
                 )
                 d = int(np.asarray(frontier["depth"])[i]) + 1
@@ -257,14 +273,30 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
         # 6b. content dedup: keepers emit documents, dups are counted
         n_content_dups = 0
         if cfg.dedup_content and doc_buffer:
-            keep = content_probe([fp for _d, fp in doc_buffer])
+            keep = content_probe([fp for _d, fp, _h in doc_buffer])
             n_content_dups = int((~keep).sum())
-            for (d, _fp), k in zip(doc_buffer, keep):
+            for (d, _fp, _h), k in zip(doc_buffer, keep):
                 if k:
                     n_docs += 1
                     res.documents.append(d)
+            # crawler-trap detection over this wave's extracted docs:
+            # a host with >= trap_min_fetches candidates of which
+            # >= trap_dup_ratio are dups is quenched from wave+1 on
+            # (same float64 comparison the engine runs)
+            if cfg.trap_quench:
+                cand_h: Dict[str, int] = {}
+                dup_h: Dict[str, int] = {}
+                for (_d, _fp, h), k in zip(doc_buffer, keep):
+                    cand_h[h] = cand_h.get(h, 0) + 1
+                    if not k:
+                        dup_h[h] = dup_h.get(h, 0) + 1
+                for h, c in cand_h.items():
+                    if c >= cfg.trap_min_fetches and float(
+                        dup_h.get(h, 0)
+                    ) >= cfg.trap_dup_ratio * float(c):
+                        trapped.add(h)
         else:
-            for d, _fp in doc_buffer:
+            for d, _fp, _h in doc_buffer:
                 n_docs += 1
                 res.documents.append(d)
 
@@ -311,8 +343,14 @@ def simulate_crawl(cfg: CrawlConfig) -> SimResult:
             nf["priority"].append(np.float32(pr))
             nf["discovered_at"].append(np.int64(da))
             nf["attempts"].append(np.int32(att))
+        wave_metrics_extra = (
+            {"trap_blocked": n_trap_blocked, "trapped_hosts": len(trapped)}
+            if cfg.trap_quench
+            else {}
+        )
         res.metrics.append(
             {
+                **wave_metrics_extra,
                 "wave": wave,
                 "frontier": n,
                 "robots_blocked": int(blocked.sum()),

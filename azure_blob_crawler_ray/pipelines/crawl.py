@@ -721,6 +721,11 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         else []
     )
 
+    # crawler-trap quench state: hosts judged trap-like (mostly content
+    # dups) — a plain driver set, host-count bounded, checkpointed as
+    # trapped.json per wave for resume.
+    trapped: set = set()
+
     # ---- resume: last wave whose checkpoint committed ----
     start_wave = 0
     last_ok = -1
@@ -741,6 +746,10 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         with open(os.path.join(wdir, "politeness.json")) as f:
             snaps = json.load(f)
         ray.get([a.restore.remote(s) for a, s in zip(sched, snaps)])
+        tpath = os.path.join(wdir, "trapped.json")
+        if os.path.exists(tpath):  # absent on pre-trap checkpoints
+            with open(tpath) as f:
+                trapped = set(json.load(f))
         frontier = read_table(os.path.join(wdir, "frontier"))
         start_wave = last_ok + 1
     else:
@@ -763,9 +772,30 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.time()
         n_frontier = frontier.count()
+        trap_blocked = 0
+        if cfg.trap_quench and trapped:
+            # quench: trapped hosts leave the frontier before any other
+            # stage sees them (broadcast of a host-count-bounded list)
+            tr_ref = ray.put(np.array(sorted(trapped), dtype=object))
+
+            def _drop_trapped(batch: pa.Table, _r=tr_ref) -> pa.Table:
+                hs = ray.get(_r)
+                keep = ~np.isin(
+                    batch["host"].to_numpy(zero_copy_only=False), hs
+                )
+                return batch.filter(pa.array(keep))
+
+            frontier = frontier.map_batches(
+                _drop_trapped, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            n_after = frontier.count()
+            trap_blocked = n_frontier - n_after
+            n_frontier = n_after
         if n_frontier == 0:
             break
         m: dict = {"wave": wave, "frontier": n_frontier}
+        if cfg.trap_quench:
+            m["trap_blocked"] = trap_blocked
         tprev = time.time()
 
         def _tick(label: str) -> None:
@@ -1021,6 +1051,55 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         m["content_dups"] = int(cnt["content_dups"])
         _tick("counters")
 
+        # crawler-trap detection: per-host dup share over this wave's
+        # EXTRACTED documents (skipped rows never judged). One narrow
+        # (host, dup) exchange of host-count-bounded partials; the
+        # driver holds only the per-host summary.
+        if cfg.trap_quench and cfg.dedup_content:
+            import pyarrow.compute as _pc
+            from ray.data.aggregate import Sum as _Sum
+
+            def _host_dup_partial(batch: pa.Table) -> pa.Table:
+                keep = ~batch["skipped"].to_numpy(zero_copy_only=False)
+                km = pa.array(keep)
+                t = pa.table(
+                    {
+                        "host": batch["host"].filter(km),
+                        "dup": _pc.cast(
+                            batch["content_dup"].filter(km), pa.int64()
+                        ),
+                    }
+                )
+                g = t.group_by("host").aggregate(
+                    [("dup", "sum"), ("dup", "count")]
+                )
+                return g.rename_columns(["host", "dups", "cand"])
+
+            hstats = (
+                parsed.map_batches(
+                    _host_dup_partial,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .groupby("host")
+                .aggregate(
+                    _Sum("dups", alias_name="dups"),
+                    _Sum("cand", alias_name="cand"),
+                )
+                .to_pandas()
+            )
+            if len(hstats):
+                cand = hstats["cand"].to_numpy(np.float64)
+                dups = hstats["dups"].to_numpy(np.float64)
+                hit = (cand >= cfg.trap_min_fetches) & (
+                    dups >= cfg.trap_dup_ratio * cand
+                )
+                trapped.update(
+                    hstats["host"].to_numpy(object)[hit].tolist()
+                )
+            m["trapped_hosts"] = len(trapped)
+            _tick("trap_stats")
+
         # failure taxonomy (SURVEY.md §4.1): transient failures re-enter
         # the next frontier with attempts+1 until max_fetch_attempts,
         # then dead-letter; permanent codes dead-letter immediately
@@ -1089,6 +1168,8 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         # checkpoint state + lineage, then commit the wave marker
         snaps = ray.get([a.snapshot.remote() for a in sched])
         write_json(snaps, os.path.join(wdir, "politeness.json"))
+        if cfg.trap_quench:
+            write_json(sorted(trapped), os.path.join(wdir, "trapped.json"))
         blobs = ray.get([a.snapshot.remote() for a in seen])
         for i, b in enumerate(blobs):
             with open(os.path.join(wdir, f"seen-{i:02d}.bin"), "wb") as f:

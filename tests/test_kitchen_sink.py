@@ -36,6 +36,11 @@ CFG = dict(
     link_noise_every=5,
     sitemap_every=4,
     nofollow_every=6,
+    # crawler-trap quench interacting with everything above (the low
+    # ratio makes the mirror_every=9 dup share trip: 1 -> 5 hosts trap)
+    trap_quench=True,
+    trap_dup_ratio=0.10,
+    trap_min_fetches=6,
 )
 
 
@@ -64,6 +69,8 @@ def test_all_flags_crawl_matches_oracle(tmp_path):
     assert sum(1 for d in t.to_pylist() if d["content_dup"]) > 0  # flag bites
     # the flags actually bit: some fetch was a redirect, some dup, etc.
     assert len(sim.order) > 0
+    assert res.metrics[-1]["trapped_hosts"] > 0  # trap fired amid all flags
+    assert res.metrics[-1]["trapped_hosts"] == sim.metrics[-1]["trapped_hosts"]
 
 
 def test_all_flags_resume_identical(tmp_path):

@@ -308,6 +308,22 @@ def minhash_signatures(
     return docs.map_batches(Sig, batch_format="pyarrow", concurrency=_pool_size())
 
 
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) uint64 signature matrix -> (n, bands) uint64 band
+    keys: each band's rows mixed with the golden-ratio multiplier, the
+    band index folded into the top byte so key equality implies SAME
+    band. Shared by the batch LSH (``minhash_lsh_pairs``) and the
+    incremental index (``incdedup``) so their collision semantics are
+    identical by construction."""
+    n, num_perm = sig.shape
+    rows_per_band = num_perm // bands
+    keys = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows_per_band):
+        col = sig[:, np.arange(bands) * rows_per_band + r]
+        keys = keys * np.uint64(0x9E3779B97F4A7C15) + col
+    return keys ^ (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(56))
+
+
 def minhash_lsh_pairs(
     docs: ray.data.Dataset,
     *,
@@ -326,7 +342,6 @@ def minhash_lsh_pairs(
     pairs (normal LSH); a pathological bucket (thousands of identical
     docs) degrades to the star pattern — pairs against the group's
     minimum doc_id only — which still suffices for keep-one dedup."""
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, ngram=ngram, num_perm=num_perm)
 
     num_gbuckets = 64
@@ -336,14 +351,7 @@ def minhash_lsh_pairs(
         n = sig.shape[0]
         doc_ids = batch["doc_id"].to_numpy()
         out_doc = np.repeat(doc_ids, bands)
-        out_band = np.tile(np.arange(bands, dtype=np.int64), n)
-        # band key: hash of the band's rows (vectorized mix)
-        keys = np.zeros((n, bands), dtype=np.uint64)
-        for r in range(rows_per_band):
-            col = sig[:, np.arange(bands) * rows_per_band + r]
-            keys = keys * np.uint64(0x9E3779B97F4A7C15) + col
-        # fold band index into the key so one sort groups (band, key) runs
-        bkey = keys ^ (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(56))
+        bkey = band_keys(sig, bands)
         flat_sig = np.repeat(sig, bands, axis=0).ravel()
         return pa.table(
             {

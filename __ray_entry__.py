@@ -754,6 +754,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", ["doc_id", "text"]), threshold=0.6
         )
 
+    def q_incremental_dedup(sf):
+        """Continuous-crawl dedup: split the corpus into two increments
+        by doc_id parity, feed them through a fresh persisted band
+        index, return the second increment's flags (rule 1 hits against
+        run 1's docs + rule 2 within run 2). Sequential twin + chain/
+        resume/layout tests: tests/test_incdedup.py."""
+        import shutil as _sh
+        import tempfile
+
+        from azure_blob_crawler_ray.pipelines import incdedup
+
+        import pyarrow.compute as _pc
+
+        def _parity(par):
+            def fn(b):
+                return b.filter(
+                    _pc.equal(_pc.bit_wise_and(b["doc_id"], 1), par)
+                )
+
+            return fn
+
+        docs = _read(sf, "documents", ["doc_id", "text"])
+        run1 = docs.map_batches(_parity(0), batch_format="pyarrow")
+        run2 = docs.map_batches(_parity(1), batch_format="pyarrow")
+        uri = tempfile.mkdtemp(prefix="abc_incdedup_", dir="/tmp")
+        try:
+            incdedup.incremental_minhash_dedup(
+                uri, "0001", run1, threshold=0.6
+            ).materialize()
+            return (
+                incdedup.incremental_minhash_dedup(
+                    uri, "0002", run2, threshold=0.6
+                )
+                .materialize()
+                .sort("doc_id")
+            )
+        finally:
+            _sh.rmtree(uri, ignore_errors=True)
+
     def q_simhash(sf):
         return dataprep.simhash_pairs(
             _read(sf, "documents", ["doc_id", "text"]), max_hamming=3
@@ -1400,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "normalize_text": q_normalize_text,
         "minhash_lsh_dedup": q_minhash_lsh,
+        "incremental_dedup": q_incremental_dedup,
         "simhash_dedup": q_simhash,
         "ngram_jaccard_dedup": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,

@@ -331,6 +331,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    sigs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by MinHash banding (Leskovec et al., MMDS ch.3):
     band-key groupby generates candidates; estimated Jaccard =
@@ -341,8 +342,13 @@ def minhash_lsh_pairs(
     are hashes, uniform. Buckets up to ``max_bucket`` emit all O(g²)
     pairs (normal LSH); a pathological bucket (thousands of identical
     docs) degrades to the star pattern — pairs against the group's
-    minimum doc_id only — which still suffices for keep-one dedup."""
-    sigs = minhash_signatures(docs, ngram=ngram, num_perm=num_perm)
+    minimum doc_id only — which still suffices for keep-one dedup.
+
+    ``sigs``: pre-computed ``minhash_signatures`` output to reuse (the
+    shingle pass dominates; callers composing several sketch consumers
+    — e.g. the incremental index — pay it once)."""
+    if sigs is None:
+        sigs = minhash_signatures(docs, ngram=ngram, num_perm=num_perm)
 
     num_gbuckets = 64
 

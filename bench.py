@@ -324,6 +324,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "lexical_diversity",
         "customer_order_distribution",
         "user_activity_full",
+        "incremental_dedup",
     ]
     out = {}
     for name in names:

@@ -780,12 +780,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         run2 = docs.map_batches(_parity(1), batch_format="pyarrow")
         uri = tempfile.mkdtemp(prefix="abc_incdedup_", dir="/tmp")
         try:
-            incdedup.incremental_minhash_dedup(
-                uri, "0001", run1, threshold=0.6
-            ).materialize()
+            # num_shards sizes the index layout to the increment (the
+            # 100 TB default is 64+; 16 keeps bench-scale file counts
+            # sane). Run 1 only seeds the index — append alone, no flags.
+            incdedup.minhash_index_append(uri, "0001", run1, num_shards=16)
             return (
                 incdedup.incremental_minhash_dedup(
-                    uri, "0002", run2, threshold=0.6
+                    uri, "0002", run2, threshold=0.6, num_shards=16
                 )
                 .materialize()
                 .sort("doc_id")

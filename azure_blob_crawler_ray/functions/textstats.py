@@ -91,6 +91,91 @@ def char_ngrams(text: str, n: int) -> set:
     return {s[i : i + n] for i in range(len(s) - n + 1)}
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — restores avalanche on the low bits of the
+    polynomial window hash (whose bit 0 alone would be a parity, useless
+    for SimHash votes / LSH banding)."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+_SHINGLE_B = np.uint64(0x100000001B3)  # odd -> full-period mod 2^64
+
+
+def hashed_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT hashed character-``n``-gram sets for a whole
+    batch in one vectorized pass — the hot path under MinHash, SimHash,
+    exact n-gram Jaccard and the source-overlap matrix.  Returns
+    ``(flat, sizes)``: ``flat`` holds doc 0's distinct shingle hashes,
+    then doc 1's, ...; ``sizes[i]`` is doc i's set size.
+
+    Semantics mirror ``char_ngrams`` (whitespace collapse; a 0<len<n doc
+    contributes its whole text as ONE shingle; an empty doc contributes
+    nothing) with hash identity replacing string identity — the same
+    concession every consumer already made by hashing the strings
+    (collision odds ~ set²/2⁶⁴, and a collision only ever MERGES two
+    shingles).  Mechanics: code points (utf-32, so multi-byte chars are
+    one window element) are packed into one buffer with ``n``-zero gaps,
+    a single ``sliding_window_view @ B-powers`` produces every window
+    hash, windows straddling gaps are masked out positionally, a
+    splitmix64 finalizer restores bit avalanche, and one global
+    ``(doc, hash)`` lexsort dedups per doc."""
+    norm = [" ".join(t.split()) for t in texts]
+    cps = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in norm]
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    doc_parts: list[np.ndarray] = []
+    hash_parts: list[np.ndarray] = []
+
+    long_idx = np.flatnonzero(lens >= n)
+    if len(long_idx):
+        gap = np.zeros(n, dtype=np.uint32)
+        parts: list[np.ndarray] = []
+        for i in long_idx:
+            parts.append(cps[i])
+            parts.append(gap)
+        buf = np.concatenate(parts[:-1]).astype(np.uint64)
+        weights = np.array(
+            [pow(int(_SHINGLE_B), n - 1 - k, 1 << 64) for k in range(n)],
+            dtype=np.uint64,
+        )
+        win = np.lib.stride_tricks.sliding_window_view(buf, n)
+        hv = win @ weights  # uint64 wrap = the hash
+        llen = lens[long_idx]
+        starts = np.concatenate(([0], np.cumsum(llen + n)[:-1]))
+        pos = np.arange(len(hv), dtype=np.int64)
+        d = np.searchsorted(starts, pos, side="right") - 1
+        valid = pos <= starts[d] + llen[d] - n
+        doc_parts.append(long_idx[d[valid]])
+        hash_parts.append(_mix64(hv[valid]))
+
+    short_idx = np.flatnonzero((lens > 0) & (lens < n))
+    for i in short_idx:  # rare by construction; whole-text hash
+        c = cps[i].astype(np.uint64)
+        w = np.array(
+            [pow(int(_SHINGLE_B), len(c) - 1 - k, 1 << 64) for k in range(len(c))],
+            dtype=np.uint64,
+        )
+        doc_parts.append(np.array([i], dtype=np.int64))
+        hash_parts.append(_mix64(np.array([c @ w], dtype=np.uint64)))
+
+    sizes = np.zeros(len(texts), dtype=np.int64)
+    if not doc_parts:
+        return np.empty(0, dtype=np.uint64), sizes
+    docs = np.concatenate(doc_parts)
+    hashes = np.concatenate(hash_parts)
+    order = np.lexsort((hashes, docs))
+    docs, hashes = docs[order], hashes[order]
+    keep = np.r_[True, (hashes[1:] != hashes[:-1]) | (docs[1:] != docs[:-1])]
+    docs, hashes = docs[keep], hashes[keep]
+    sizes[: docs.max() + 1] = np.bincount(docs)
+    return hashes, sizes
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

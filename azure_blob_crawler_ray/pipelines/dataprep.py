@@ -30,7 +30,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.textstats import (
     char_count,
-    char_ngrams,
+    hashed_shingles,
     md5_hex,
     occurrences,
     punct_count,
@@ -278,20 +278,15 @@ def minhash_signatures(
             self.a, self.b = a, b
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            # batched: ONE hash64 call over every doc's shingles, one
-            # (total_shingles × num_perm) permutation pass, per-doc min
-            # via np.minimum.reduceat — no per-doc Python beyond the
-            # shingle-set extraction itself (inherent to the operator)
-            shingle_lists = [
-                list(char_ngrams(text, ngram)) for text in batch["text"].to_pylist()
-            ]
-            sizes = np.array([len(s) for s in shingle_lists], dtype=np.int64)
-            all_sh = [s for lst in shingle_lists for s in lst]
+            # batched: ONE vectorized shingle-hash pass over the whole
+            # batch (hashed_shingles: sliding-window polynomial + mix),
+            # one (total_shingles × num_perm) permutation pass, per-doc
+            # min via np.minimum.reduceat — zero per-doc Python
+            x, sizes = hashed_shingles(batch["text"].to_pylist(), ngram)
             n = len(sizes)
             sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
             nonempty = np.flatnonzero(sizes)
-            if len(all_sh):
-                x = hash64(all_sh)  # (total,)
+            if len(x):
                 v = (x[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
                 starts = np.cumsum(sizes[nonempty]) - sizes[nonempty]
                 sig[nonempty] = np.minimum.reduceat(v, starts, axis=0)
@@ -461,17 +456,12 @@ def simhash_signatures(docs: ray.data.Dataset, *, ngram: int = 3) -> ray.data.Da
     docs = _fan_out(docs)
 
     def fn(batch: pa.Table) -> pa.Table:
-        # batched: one hash64 call for the whole batch, one bit-unpack,
+        # batched: one vectorized shingle-hash pass, one bit-unpack,
         # per-doc bit votes via np.add.reduceat over segment boundaries
-        shingle_lists = [
-            list(char_ngrams(text, ngram)) for text in batch["text"].to_pylist()
-        ]
-        sizes = np.array([len(s) for s in shingle_lists], dtype=np.int64)
-        all_sh = [s for lst in shingle_lists for s in lst]
+        h, sizes = hashed_shingles(batch["text"].to_pylist(), ngram)
         out = np.zeros(batch.num_rows, dtype=np.uint64)
         nonempty = np.flatnonzero(sizes)
-        if len(all_sh):
-            h = hash64(all_sh)
+        if len(h):
             bits = (
                 (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
             ).astype(np.int64)
@@ -673,13 +663,8 @@ def ngram_jaccard_pairs(
     only by shingles shared with more than ``max_posting`` documents."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        # one hash64 call per batch; doc_id/set_size columns by np.repeat
-        shingle_lists = [
-            list(char_ngrams(text, ngram)) for text in batch["text"].to_pylist()
-        ]
-        sizes = np.array([len(s) for s in shingle_lists], dtype=np.int64)
-        all_sh = [s for lst in shingle_lists for s in lst]
-        flat = hash64(all_sh) if all_sh else np.zeros(0, dtype=np.uint64)
+        # one vectorized shingle pass; doc_id/set_size by np.repeat
+        flat, sizes = hashed_shingles(batch["text"].to_pylist(), ngram)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
@@ -1794,33 +1779,48 @@ def source_overlap(
         raise ValueError("source_overlap: one-word mask supports <= 64 sources")
     order = {s: i for i, s in enumerate(sources)}
 
+    def _or_fold(sh: np.ndarray, mask: np.ndarray):
+        """(shingle, mask) rows -> one OR-folded mask per distinct
+        shingle: sort + segmented np.bitwise_or.reduceat (NOT a pandas
+        groupby-agg, which falls back to one Python call per group)."""
+        o = np.argsort(sh, kind="mergesort")
+        sh, mask = sh[o], mask[o]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        return sh[starts], np.bitwise_or.reduceat(mask, starts)
+
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         srcs = batch["source"].to_pylist()
-        sh_lists = [list(char_ngrams(t, ngram)) for t in texts]
-        sizes = np.array([len(s) for s in sh_lists], dtype=np.int64)
-        all_sh = [s for lst in sh_lists for s in lst]
-        flat = hash64(all_sh) if all_sh else np.zeros(0, dtype=np.uint64)
+        flat, sizes = hashed_shingles(texts, ngram)
         masks = np.repeat(
             np.array([np.uint64(1) << np.uint64(order[s]) for s in srcs], dtype=np.uint64),
             sizes,
         )
-        df = pd.DataFrame({"shingle": flat, "mask": masks})
-        g = df.groupby("shingle", sort=False)["mask"].agg(np.bitwise_or.reduce)
-        g = g.reset_index()
-        g["bucket"] = (
-            g["shingle"].to_numpy().astype(np.uint64) % np.uint64(num_buckets)
-        ).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        if not len(flat):
+            return pa.table(
+                {
+                    "shingle": pa.array([], type=pa.uint64()),
+                    "mask": pa.array([], type=pa.uint64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        sh, m = _or_fold(flat, masks)
+        return pa.table(
+            {
+                "shingle": pa.array(sh),
+                "mask": pa.array(m),
+                "bucket": pa.array(
+                    (sh % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
 
     k = len(sources)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = (
-            df.groupby("shingle", sort=False)["mask"]
-            .agg(np.bitwise_or.reduce)
-            .to_numpy()
-            .astype(np.uint64)
+        _, m = _or_fold(
+            df["shingle"].to_numpy().astype(np.uint64),
+            df["mask"].to_numpy().astype(np.uint64),
         )
         rows = []
         for a in range(k):

@@ -341,14 +341,15 @@ def incremental_minhash_dedup(
     kept docs).  Rules 1-3 of the module docstring.
 
     Scale shape: nothing corpus-sized touches the driver.  The resolve
-    is three narrow doc_id-bucket exchanges over near-dup-DENSITY-sized
+    is TWO narrow doc_id-bucket exchanges over near-dup-DENSITY-sized
     inputs (index hits + LSH pairs), plus the probe's shard exchange and
     the pair generation it composes: (a) pairs whose doc_a is itself an
-    index dup are dropped by a tagged-union bucket join; (b) min-id /
-    max-est per doc_b; (c) flags re-attached to the full increment id
-    stream with rule-1 precedence.  The probe dataset captures the
-    committed-run list BEFORE the append, so laziness cannot make the
-    increment match itself."""
+    index dup are dropped by a tagged-union bucket join keyed on doc_a;
+    (b) one doc_id-keyed exchange both picks the best surviving partner
+    per doc (max est, min doc_a) and re-attaches flags to the full
+    increment id stream with rule-1 precedence.  The probe dataset
+    captures the committed-run list BEFORE the append, so laziness
+    cannot make the increment match itself."""
     params = dict(
         ngram=ngram, num_perm=num_perm, bands=bands, num_shards=num_shards
     )
@@ -418,35 +419,8 @@ def incremental_minhash_dedup(
         .map_groups(drop_ruled_out, batch_format="pandas")
     )
 
-    # (b) best lower-id partner per doc_b (max est, then min doc_a)
-    def best_partner(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["doc_b", "est_jaccard", "doc_a"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        ).drop_duplicates("doc_b", keep="first")
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_b"].astype(np.int64),
-                "dup_of": df["doc_a"].astype(np.int64),
-                "est_jaccard": df["est_jaccard"].astype(np.float64),
-                "rule": np.full(len(df), 2, dtype=np.int8),
-            }
-        )
-
-    intra = (
-        surv.map_batches(lambda b: _bucket(b, "doc_b"), batch_format="pyarrow")
-        .groupby("bkt")
-        .map_groups(
-            lambda d: best_partner(d.drop(columns=["bkt"])),
-            batch_format="pandas",
-        )
-    )
-
-    # rule 3: the WHOLE increment enters the index (chains across runs)
-    minhash_index_append(index_uri, run_id, docs, sigs=sigs, **params)
-
-    # (c) re-attach flags to the full id stream, rule 1 beating rule 2
+    # (b)+(c) in ONE doc_id-keyed exchange: per doc, a rule-1 hit wins;
+    # otherwise the best surviving lower-id partner (max est, min doc_a)
     ids = sigs.select_columns(["doc_id"]).map_batches(
         lambda b: _bucket(
             pa.table(
@@ -468,13 +442,32 @@ def incremental_minhash_dedup(
         ),
         batch_format="pyarrow",
     ).select_columns(["doc_id", "dup_of", "est_jaccard", "rule", "bkt"])
-    i_flag = intra.map_batches(
-        lambda b: _bucket(b, "doc_id"), batch_format="pyarrow"
+    s_flag = surv.map_batches(
+        lambda b: _bucket(
+            pa.table(
+                {
+                    "doc_id": b["doc_b"],
+                    "dup_of": b["doc_a"],
+                    "est_jaccard": b["est_jaccard"],
+                    "rule": pa.array(np.full(b.num_rows, 2, np.int8)),
+                }
+            ),
+            "doc_id",
+        ),
+        batch_format="pyarrow",
     )
 
+    # rule 3: the WHOLE increment enters the index (chains across runs)
+    minhash_index_append(index_uri, run_id, docs, sigs=sigs, **params)
+
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "rule"], kind="mergesort")
-        df = df.drop_duplicates("doc_id", keep="first")
+        # rule asc, then est desc / dup_of asc within rule 2 — one sort
+        # implements both the precedence and the best-partner tiebreak
+        df = df.sort_values(
+            ["doc_id", "rule", "est_jaccard", "dup_of"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("doc_id", keep="first")
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype(np.int64),
@@ -486,7 +479,7 @@ def incremental_minhash_dedup(
 
     return (
         ids.union(h_flag)
-        .union(i_flag)
+        .union(s_flag)
         .groupby("bkt")
         .map_groups(
             lambda d: resolve(d.drop(columns=["bkt"])), batch_format="pandas"

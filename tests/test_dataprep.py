@@ -253,13 +253,16 @@ def test_ngram_jaccard_matches_bruteforce_random_corpora():
 
 def test_signature_batching_matches_per_doc_computation():
     """The reduceat-batched minhash/simhash signatures must equal the
-    straightforward per-document formulas (guards the batching rewrite,
-    incl. empty docs interleaved with non-empty ones)."""
+    straightforward per-document formulas over the SAME shingle hashes
+    (guards the batching rewrite, incl. empty docs interleaved with
+    non-empty ones and the short-doc whole-text path)."""
     import pyarrow as pa
     import ray.data
 
-    from azure_blob_crawler_ray.functions.textstats import char_ngrams
-    from azure_blob_crawler_ray.hashing import hash64
+    from azure_blob_crawler_ray.functions.textstats import (
+        char_ngrams,
+        hashed_shingles,
+    )
     from azure_blob_crawler_ray.pipelines import dataprep as dp
 
     texts = ["alpha beta gamma", "", "beta beta beta delta", "   ", "x"]
@@ -275,14 +278,14 @@ def test_signature_batching_matches_per_doc_computation():
     )
     a, b = dp._minhash_params(num_perm)
     for i, t in enumerate(texts):
-        sh = sorted(char_ngrams(t, 3))
-        if not sh:
+        x, sizes = hashed_shingles([t], 3)  # per-doc reference hashes
+        assert sizes[0] == len(char_ngrams(t, 3))  # set semantics hold
+        if not len(x):
             expect = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         else:
-            x = hash64(sh)
             expect = ((x[:, None] * a[None, :] + b[None, :]) % dp._MERSENNE).min(axis=0)
         assert np.array_equal(np.asarray(got.loc[i, "sig"], dtype=np.uint64), expect)
-        assert got.loc[i, "n_shingles"] == len(sh)
+        assert got.loc[i, "n_shingles"] == sizes[0]
 
     sim = (
         dp.simhash_signatures(docs, ngram=3)
@@ -290,11 +293,10 @@ def test_signature_batching_matches_per_doc_computation():
         .set_index("doc_id")["simhash"]
     )
     for i, t in enumerate(texts):
-        sh = sorted(char_ngrams(t, 3))
-        if not sh:
+        h, sizes = hashed_shingles([t], 3)
+        if not len(h):
             assert int(sim[i]) == 0
             continue
-        h = hash64(sh)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         vote = (2 * bits - 1).sum(axis=0)
         expect = int(np.bitwise_or.reduce(

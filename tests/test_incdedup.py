@@ -163,9 +163,11 @@ def test_chain_through_an_indexed_dup(tmp_path):
     b = pd.DataFrame({"doc_id": [2], "text": [X + Y]})
     c = pd.DataFrame({"doc_id": [3], "text": [Y]})
     uri = str(tmp_path / "idx")
-    r1 = _run_engine(uri, "r1", a, threshold=0.35, num_perm=128, bands=32)
-    r2 = _run_engine(uri, "r2", b, threshold=0.35, num_perm=128, bands=32)
-    r3 = _run_engine(uri, "r3", c, threshold=0.35, num_perm=128, bands=32)
+    # 2-row bands: at J~0.5 a band collides w.p. 1-(3/4)^64 ~ 1-1e-8,
+    # so candidate generation cannot miss the deterministic draw
+    r1 = _run_engine(uri, "r1", a, threshold=0.35, num_perm=128, bands=64)
+    r2 = _run_engine(uri, "r2", b, threshold=0.35, num_perm=128, bands=64)
+    r3 = _run_engine(uri, "r3", c, threshold=0.35, num_perm=128, bands=64)
     assert not r1["is_dup"].iloc[0]
     assert r2["is_dup"].iloc[0] and r2["dup_of"].iloc[0] == 1
     assert r3["is_dup"].iloc[0] and r3["dup_of"].iloc[0] == 2

@@ -436,11 +436,16 @@ def minhash_lsh_pairs(
             "pbucket", pa.array((key % np.uint64(64)).astype(np.int32))
         )
 
+    # batch_size coalesces the many small signature blocks (_fan_out
+    # makes ~128-row blocks for shingle parallelism) into few fat blocks
+    # before each exchange — the groupby sort-shuffle costs ~linearly in
+    # input BLOCK COUNT at fixed rows (bucket_hash_join's measured
+    # lesson). 65k band rows ≈ 35 MB with the riding signatures.
     return (
-        sigs.map_batches(band_explode, batch_format="pyarrow")
+        sigs.map_batches(band_explode, batch_format="pyarrow", batch_size=65_536)
         .groupby("gbucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(add_pbucket, batch_format="pyarrow")
+        .map_batches(add_pbucket, batch_format="pyarrow", batch_size=262_144)
         .groupby("pbucket")
         .map_groups(combine_pairs, batch_format="pandas")
     )

@@ -144,7 +144,10 @@ def _band_rows(
             }
         )
 
-    return sigs.map_batches(explode, batch_format="pyarrow")
+    # batch_size coalesces the small signature blocks into few fat band
+    # blocks — both consumers (the probe's shard groupby and the sharded
+    # write) cost ~linearly in input block count at fixed rows
+    return sigs.map_batches(explode, batch_format="pyarrow", batch_size=65_536)
 
 
 def minhash_index_append(
@@ -315,7 +318,9 @@ def minhash_index_probe(
         )
 
     return (
-        best.map_batches(add_dbucket, batch_format="pyarrow")
+        best.map_batches(
+            add_dbucket, batch_format="pyarrow", batch_size=262_144
+        )
         .groupby("dbucket")
         .map_groups(
             lambda d: finish(d.drop(columns=["dbucket"])),
@@ -384,12 +389,18 @@ def incremental_minhash_dedup(
 
     # (a) drop pairs whose doc_a is an index dup — tagged union keyed
     # on doc_a, ONE bucket exchange, vectorized isin per bucket
+    # batch_size coalesces the (tiny, many-blocked) upstream outputs
+    # into few fat blocks before each exchange — the sort-shuffle
+    # behind groupby costs ~linearly in input BLOCK COUNT at fixed
+    # rows (bucket_hash_join's measured lesson; 840 tiny blocks cost
+    # ~30 s here before coalescing, ~1 s after)
     p_tag = pairs.map_batches(
         lambda b: _bucket(
             b.append_column("tag", pa.array(np.ones(b.num_rows, np.int8))),
             "doc_a",
         ),
         batch_format="pyarrow",
+        batch_size=262_144,
     ).select_columns(["doc_a", "doc_b", "est_jaccard", "tag", "bkt"])
     h_tag = hits.map_batches(
         lambda b: _bucket(
@@ -404,6 +415,7 @@ def incremental_minhash_dedup(
             "doc_a",
         ),
         batch_format="pyarrow",
+        batch_size=262_144,
     )
 
     def drop_ruled_out(df: pd.DataFrame) -> pd.DataFrame:
@@ -434,6 +446,7 @@ def incremental_minhash_dedup(
             "doc_id",
         ),
         batch_format="pyarrow",
+        batch_size=262_144,
     )
     h_flag = hits.map_batches(
         lambda b: _bucket(
@@ -441,6 +454,7 @@ def incremental_minhash_dedup(
             "doc_id",
         ),
         batch_format="pyarrow",
+        batch_size=262_144,
     ).select_columns(["doc_id", "dup_of", "est_jaccard", "rule", "bkt"])
     s_flag = surv.map_batches(
         lambda b: _bucket(
@@ -455,6 +469,7 @@ def incremental_minhash_dedup(
             "doc_id",
         ),
         batch_format="pyarrow",
+        batch_size=262_144,
     )
 
     # rule 3: the WHOLE increment enters the index (chains across runs)

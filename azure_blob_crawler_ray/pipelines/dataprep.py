@@ -627,7 +627,9 @@ def simhash_pairs(
         )
 
     return (
-        sigs.map_batches(block_explode, batch_format="pyarrow")
+        sigs.map_batches(
+            block_explode, batch_format="pyarrow", batch_size=262_144
+        )
         .groupby("gbucket")
         .map_groups(verify, batch_format="pandas")
         .groupby("pbucket")
@@ -1956,7 +1958,8 @@ def robust_length_outliers(
         return pa.table({"lang": batch["lang"], "n_chars": np.abs(n - m)})
 
     dev = docs.select_columns(["lang", "n_chars"]).map_batches(
-        absdev, batch_format="pyarrow", zero_copy_batch=True
+        absdev, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=262_144,
     )
     mad = group_quantiles(
         dev, value_col="n_chars", group_col="lang", qs=(0.5,)
@@ -1981,7 +1984,12 @@ def robust_length_outliers(
 
     return (
         docs.select_columns(["lang", "n_chars"])
-        .map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            flag,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby("lang")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),

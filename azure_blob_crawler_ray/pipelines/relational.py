@@ -873,7 +873,15 @@ def group_quantiles(
 
     hist_rows = (
         ds.select_columns([group_col, value_col])
-        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        # batch_size coalesces small scan blocks so the per-batch
+        # combine emits few fat partial blocks — the groupby
+        # sort-shuffle costs ~linearly in input block count
+        .map_batches(
+            hist,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby(["g", "vb"])
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
@@ -932,7 +940,12 @@ def group_quantiles(
 
     return (
         ds.select_columns([group_col, value_col])
-        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            gather,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby(["g", "vb"])
         .map_groups(pick, batch_format="pandas")
         .sort([group_col, "q"])
@@ -974,7 +987,15 @@ def group_quantiles_cont(
 
     hist_rows = (
         ds.select_columns([group_col, value_col])
-        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        # batch_size coalesces small scan blocks so the per-batch
+        # combine emits few fat partial blocks — the groupby
+        # sort-shuffle costs ~linearly in input block count
+        .map_batches(
+            hist,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby(["g", "vb"])
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
@@ -1058,7 +1079,12 @@ def group_quantiles_cont(
 
     return (
         ds.select_columns([group_col, value_col])
-        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            gather,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby(["g", "vb"])
         .map_groups(pick, batch_format="pandas")
         .groupby([group_col, "q"])
@@ -1104,7 +1130,12 @@ def group_weighted_median(
 
     hist_rows = (
         ds.select_columns([group_col, value_col, weight_col])
-        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            hist,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby(["g", "vb"])
         .aggregate(Sum("w", alias_name="w"))
         .take_all()
@@ -1154,7 +1185,12 @@ def group_weighted_median(
 
     return (
         ds.select_columns([group_col, value_col, weight_col])
-        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            gather,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby(["g", "vb"])
         .map_groups(pick, batch_format="pandas")
         .sort(group_col)

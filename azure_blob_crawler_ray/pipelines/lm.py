@@ -109,7 +109,15 @@ def train_bigram_lm(
 
     partials = (
         reference.select_columns(["text"])
-        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        # batch_size coalesces small scan blocks so the per-batch
+        # combiner emits few fat partial blocks (the downstream
+        # groupbys cost ~linearly in input block count)
+        .map_batches(
+            partial_counts,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .materialize()
     )
     n_vocab = int(

@@ -852,6 +852,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=ANN_K,
         )
 
+    def q_ivf_persisted_topk(sf):
+        """Persisted incremental IVF: build from the even vec_ids,
+        append the odds as a second run (saved-centroid assignment),
+        search reading only the probed lists' shard dirs. Recall /
+        agreement / resume gates: tests/test_annindex.py."""
+        import shutil as _sh
+        import tempfile
+
+        import pyarrow.compute as _pc
+
+        from azure_blob_crawler_ray.pipelines import annindex
+
+        emb = _read(sf, "embeddings", ["vec_id", "embedding"])
+
+        def _parity(par):
+            def fn(b):
+                return b.filter(
+                    _pc.equal(_pc.bit_wise_and(b["vec_id"], 1), par)
+                )
+
+            return fn
+
+        uri = tempfile.mkdtemp(prefix="abc_ivfidx_", dir="/tmp")
+        try:
+            annindex.ivf_index_build(
+                uri, emb.map_batches(_parity(0), batch_format="pyarrow")
+            )
+            annindex.ivf_index_append(
+                uri, "0001", emb.map_batches(_parity(1), batch_format="pyarrow")
+            )
+            return annindex.ivf_index_search(
+                uri, emb, num_queries=NUM_ANN_QUERIES, k=ANN_K
+            ).materialize()
+        finally:
+            _sh.rmtree(uri, ignore_errors=True)
+
     def q_quality(sf):
         return dataprep.quality_score(_read(sf, "documents", ["doc_id", "text"]))
 
@@ -1446,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "lsh_near_dup": q_lsh_near_dup,
         "ivf_topk": q_ivf_topk,
+        "ivf_persisted_topk": q_ivf_persisted_topk,
         "hnsw_topk": q_hnsw_topk,
         "approx_distinct_users": q_approx_distinct,
         "quality_score": q_quality,

@@ -55,11 +55,18 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..storage import is_complete, shard_path, write_json, write_sharded
+from ..storage import (
+    commit_run,
+    committed_runs,
+    is_complete,
+    shard_path,
+    write_json,
+    write_sharded,
+)
 from .dataprep import band_keys, minhash_lsh_pairs, minhash_signatures
 
 _META = "_META.json"
-_RUN_OK = "_RUN_COMMITTED"
+_RUN_OK = "_RUN_COMMITTED"  # storage.RUN_MARKER; kept for test visibility
 
 
 def _meta_path(index_uri: str) -> str:
@@ -91,18 +98,8 @@ def _ensure_meta(index_uri: str, params: dict) -> dict:
     return meta
 
 
-def committed_runs(index_uri: str) -> list[str]:
-    """Run directories visible to probes: every shard committed AND the
-    run-level marker written (a crashed append is invisible until its
-    resume finishes)."""
-    if not os.path.isdir(index_uri):
-        return []
-    return sorted(
-        os.path.join(index_uri, d)
-        for d in os.listdir(index_uri)
-        if d.startswith("run-")
-        and os.path.exists(os.path.join(index_uri, d, _RUN_OK))
-    )
+# committed_runs is shared index-layout machinery (storage.committed_runs);
+# re-exported here because it is part of this module's public semantics.
 
 
 def _band_rows(
@@ -187,8 +184,7 @@ def minhash_index_append(
     res = write_sharded(
         rows, run_dir, shard_col="shard", num_shards=meta["num_shards"]
     )
-    with open(os.path.join(run_dir, _RUN_OK), "w") as f:
-        f.write("{}")
+    commit_run(run_dir)
     return res
 
 

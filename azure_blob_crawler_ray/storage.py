@@ -115,6 +115,28 @@ def read_json(path: str):
         return json.load(f)
 
 
+RUN_MARKER = "_RUN_COMMITTED"
+
+
+def committed_runs(uri: str) -> list:
+    """Run directories (``run-*``) of an incremental index layout whose
+    run-level marker committed — a crashed append stays invisible to
+    readers until its resume finishes (used by the MinHash dedup index
+    and the persisted IVF index)."""
+    if not os.path.isdir(uri):
+        return []
+    return sorted(
+        os.path.join(uri, d)
+        for d in os.listdir(uri)
+        if d.startswith("run-") and os.path.exists(os.path.join(uri, d, RUN_MARKER))
+    )
+
+
+def commit_run(run_dir: str) -> None:
+    with open(os.path.join(run_dir, RUN_MARKER), "w") as f:
+        f.write("{}")
+
+
 def shard_path(uri: str, shard: int) -> str:
     # NOT key=value naming: Ray's parquet reader would infer hive
     # partition columns from the path and poison the schema

@@ -325,6 +325,7 @@ def run_pipeline_bench(sf_dir: str) -> dict:
         "customer_order_distribution",
         "user_activity_full",
         "incremental_dedup",
+        "ivf_persisted_topk",
     ]
     out = {}
     for name in names:

@@ -371,6 +371,16 @@ def run_pipeline_bench(sf_dir: str) -> dict:
     out["hnsw_recall"] = round(hhits / max(sum(len(s) for s in b_sets), 1), 3)
     out["hnsw_topk_rows"] = len(hn)
 
+    # persisted IVF (build + append + physically-pruned search): recall
+    # vs the same exact baseline — the entry's own wall is timed in the
+    # main loop; this is the quality figure
+    pv = qs["ivf_persisted_topk"](sf_dir).to_pandas()
+    p_sets = pv.groupby("query_id")["vec_id"].apply(set)
+    phits = sum(len(b_sets[q] & p_sets.get(q, set())) for q in b_sets.index)
+    out["ivf_persisted_recall"] = round(
+        phits / max(sum(len(s) for s in b_sets), 1), 3
+    )
+
     # Approximate-dedup quality gates (VERDICT r2 #4): every approximate
     # operator ships with a measured figure against its exact twin.
     ex = qs["cosine_near_dup"](sf_dir).to_pandas()

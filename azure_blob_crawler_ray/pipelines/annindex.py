@@ -226,6 +226,11 @@ def ivf_index_search(
     rows_q, rows_r, rows_v = [], [], []
     for j, qid in enumerate(qids):
         g = parts[parts["qi"] == j]
+        # drop duplicate vec_ids first (a reader racing merge_runs'
+        # post-commit deletion window may see a vector twice)
+        g = g.sort_values(
+            ["vec_id", "score"], ascending=[True, False], kind="mergesort"
+        ).drop_duplicates("vec_id", keep="first")
         order = np.lexsort((g["vec_id"].to_numpy(), -g["score"].to_numpy()))[:k]
         chosen = g.iloc[order]
         rows_q.extend([int(qid)] * len(chosen))

@@ -137,6 +137,92 @@ def commit_run(run_dir: str) -> None:
         f.write("{}")
 
 
+MERGED_FROM = "_MERGED_FROM.json"
+
+
+def merge_runs(uri: str) -> dict:
+    """Compact an incremental index's committed ``run-*`` directories
+    into ONE merged run — the maintenance pass that keeps probe fan-in
+    bounded (a long-lived index otherwise accumulates one directory per
+    increment, and every probe lists and reads all of them).  Layout-
+    generic: works for any index built on the run-/shard- scheme (the
+    MinHash dedup index, the persisted IVF index).
+
+    One Ray task per shard concatenates that shard's parquet files
+    across every source run into a single part file (a shard fits a
+    worker by the layouts' construction — same assumption as
+    ``compact_shards``).
+
+    Crash safety, two windows:
+
+      * BEFORE the merged run's ``_RUN_COMMITTED``: sources are
+        untouched and authoritative; the partial merged dir is removed
+        and redone on the next call (its name is a deterministic hash
+        of the source list, so the retry targets the same dir).
+      * AFTER the marker, during source deletion: the merged run is
+        authoritative; its ``_MERGED_FROM`` manifest lists the sources,
+        and the next ``merge_runs`` call finishes deleting any that
+        survived.  A reader in this window may see a row TWICE — both
+        index probes tolerate duplicates by construction (minhash:
+        identical candidates collapse in the per-doc best reduce; IVF:
+        vec_id dedup in the top-k merge).
+
+    Returns {"merged": n_source_runs, "run": merged_dir_name} (a no-op
+    when <= 1 committed run exists)."""
+    import hashlib
+
+    import ray
+
+    # recovery: finish deleting sources of any already-committed merge
+    for r in committed_runs(uri):
+        man = os.path.join(r, MERGED_FROM)
+        if os.path.exists(man):
+            for src_name in read_json(man):
+                src_dir = os.path.join(uri, src_name)
+                if os.path.abspath(src_dir) != os.path.abspath(r) and os.path.exists(src_dir):
+                    shutil.rmtree(src_dir)
+
+    sources = committed_runs(uri)
+    if len(sources) <= 1:
+        return {"merged": 0, "run": os.path.basename(sources[0]) if sources else None}
+    names = [os.path.basename(s) for s in sources]
+    tag = hashlib.sha256("|".join(names).encode()).hexdigest()[:8]
+    merged_name = f"run-merged-{tag}"
+    merged_dir = os.path.join(uri, merged_name)
+    if not os.path.exists(os.path.join(merged_dir, RUN_MARKER)):
+        if os.path.exists(merged_dir):  # crashed mid-write: redo
+            shutil.rmtree(merged_dir)
+        shard_ids = sorted(
+            int(d.split("-")[1])
+            for d in os.listdir(sources[0])
+            if d.startswith("shard-")
+        )
+
+        @ray.remote
+        def _merge_shard(s: int) -> int:
+            files = [
+                os.path.join(shard_path(src, s), f)
+                for src in sources
+                for f in sorted(os.listdir(shard_path(src, s)))
+                if f.endswith(".parquet")
+            ]
+            dst = shard_path(merged_dir, s)
+            os.makedirs(dst, exist_ok=True)
+            t = pa.concat_tables(pq.read_table(f) for f in files)
+            pq.write_table(t, os.path.join(dst, "part-00000.parquet"))
+            with open(os.path.join(dst, "_SUCCESS"), "w") as f:
+                f.write("{}")
+            return t.num_rows
+
+        os.makedirs(merged_dir, exist_ok=True)
+        ray.get([_merge_shard.remote(s) for s in shard_ids])
+        write_json(names, os.path.join(merged_dir, MERGED_FROM))
+        commit_run(merged_dir)  # <- the commit point
+    for s in sources:  # merged run is authoritative; sources go
+        shutil.rmtree(s, ignore_errors=True)
+    return {"merged": len(sources), "run": merged_name}
+
+
 def shard_path(uri: str, shard: int) -> str:
     # NOT key=value naming: Ray's parquet reader would infer hive
     # partition columns from the path and poison the schema

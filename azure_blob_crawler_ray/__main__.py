@@ -62,6 +62,13 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="headline crawl throughput (one JSON line)")
 
+    m = sub.add_parser(
+        "merge-index",
+        help="compact an incremental index's run dirs (MinHash dedup / "
+        "persisted IVF) into one merged run",
+    )
+    m.add_argument("--uri", required=True, help="index root directory")
+
     s = sub.add_parser("serve", help="HTTP surface over a parquet blob table")
     s.add_argument("--input", required=True,
                    help="parquet dir/file with blob_name,payload columns")
@@ -110,6 +117,10 @@ def main(argv=None) -> int:
         from bench import run_crawl_bench  # repo-root bench harness
 
         print(json.dumps(run_crawl_bench(int(ray.cluster_resources().get("CPU", 8)))))
+    elif args.cmd == "merge-index":
+        from .storage import merge_runs
+
+        print(json.dumps(merge_runs(args.uri)))
     return 0
 
 

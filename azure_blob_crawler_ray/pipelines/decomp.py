@@ -126,7 +126,12 @@ def embed_moments(
 
     agg = (
         emb.select_columns(["embedding"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65_536,
+        )
         .groupby("key")
         .aggregate(_Sum("val", alias_name="val"), _Max("mq", alias_name="mq"))
         .to_pandas()
@@ -381,7 +386,12 @@ def kmeans_fit_full(
 
         agg = (
             emb.select_columns(["embedding"])
-            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+            partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=65_536,
+        )
             .groupby("key")
             .aggregate(_Sum("val", alias_name="val"), _Max("mq", alias_name="mq"))
             .to_pandas()

@@ -478,7 +478,12 @@ def triangles(
         )
 
     wedge_ds = (
-        pairs.map_batches(add_bucket_a, batch_format="pyarrow", zero_copy_batch=True)
+        pairs.map_batches(
+            add_bucket_a,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,
+        )
         .groupby("bucket")
         .map_groups(wedges, batch_format="pandas")
     )
@@ -494,10 +499,16 @@ def triangles(
             }
         )
 
-    edge_ds = pairs.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+    edge_ds = pairs.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=262_144,
+    )
 
     return (
         wedge_ds.union(edge_ds)
+        # no batch_size here: the union mixes arrow (edge) and pandas
+        # (wedge map_groups) blocks, and Ray's batcher cannot re-bundle
+        # across block types (delegating_block_builder assert)
         .map_batches(add_bucket_uv, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(close_wedges, batch_format="pandas")

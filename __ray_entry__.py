@@ -876,8 +876,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         uri = tempfile.mkdtemp(prefix="abc_ivfidx_", dir="/tmp")
         try:
+            # centroids train on a full-corpus sample (train_on), not the
+            # first increment alone — they are fixed forever at build
             annindex.ivf_index_build(
-                uri, emb.map_batches(_parity(0), batch_format="pyarrow")
+                uri,
+                emb.map_batches(_parity(0), batch_format="pyarrow"),
+                train_on=emb,
             )
             annindex.ivf_index_append(
                 uri, "0001", emb.map_batches(_parity(1), batch_format="pyarrow")

@@ -99,18 +99,31 @@ def ivf_index_build(
     num_centroids: int = 16,
     iters: int = 5,
     sample: int = 4096,
+    train_on: ray.data.Dataset | None = None,
 ) -> dict:
     """Create the index: fit centroids on the deterministic bounded
     sample, persist them + meta, write the initial run.  Idempotent on
     a fully-built index; a crashed first build re-fits the (cheap,
-    deterministic -> identical) centroids and resumes the run write."""
+    deterministic -> identical) centroids and resumes the run write.
+
+    ``train_on``: optional representative corpus for the centroid fit
+    when the FIRST increment is not representative of what the index
+    will eventually hold (centroids are fixed forever at build, so
+    training them on a slice of the eventual distribution costs recall
+    on every later append — measured 0.762 vs 0.988 at sf0.1 when
+    training on half the corpus vs a full-corpus sample)."""
     os.makedirs(index_uri, exist_ok=True)
     meta_p = os.path.join(index_uri, _META)
     cent_p = os.path.join(index_uri, "centroids.parquet")
     if os.path.exists(meta_p) and os.path.exists(cent_p):
         cm = _load_centroids(index_uri)
     else:
-        cm = kmeans_centroids(emb, k=num_centroids, iters=iters, sample=sample)
+        cm = kmeans_centroids(
+            train_on if train_on is not None else emb,
+            k=num_centroids,
+            iters=iters,
+            sample=sample,
+        )
         tmp = cent_p + ".tmp"
         pq.write_table(
             pa.table(

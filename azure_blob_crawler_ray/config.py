@@ -101,3 +101,14 @@ class CrawlConfig:
     trap_quench: bool = False
     trap_min_fetches: int = 32
     trap_dup_ratio: float = 0.5
+
+    def __post_init__(self) -> None:
+        # trap detection is driven by the content-dup signal; without
+        # dedup_content the engine would never emit the trapped_hosts
+        # wave metric while the oracle emits trapped_hosts: 0 — enforce
+        # the documented requirement instead of diverging silently
+        if self.trap_quench and not self.dedup_content:
+            raise ValueError(
+                "trap_quench=True requires dedup_content=True (the trap "
+                "signal is the per-host content-dup ratio)"
+            )

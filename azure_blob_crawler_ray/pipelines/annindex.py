@@ -116,6 +116,26 @@ def ivf_index_build(
     meta_p = os.path.join(index_uri, _META)
     cent_p = os.path.join(index_uri, "centroids.parquet")
     if os.path.exists(meta_p) and os.path.exists(cent_p):
+        # mirror incdedup._ensure_meta: a re-build call whose parameters
+        # differ from the saved index must fail loudly — the saved
+        # centroids would silently win otherwise and the caller's
+        # num_centroids/iters/sample would be ignored
+        saved = _load_meta(index_uri)
+        asked = {"num_centroids": int(num_centroids), "iters": int(iters),
+                 "sample": int(sample)}
+        mismatch = {
+            kk: (saved[kk], asked[kk])
+            for kk in asked
+            if kk in saved and int(saved[kk]) != asked[kk]
+        }
+        if mismatch:
+            raise ValueError(
+                f"IVF index at {index_uri} was built with "
+                f"{ {kk: v[0] for kk, v in mismatch.items()} }, got "
+                f"{ {kk: v[1] for kk, v in mismatch.items()} }; index "
+                "parameters are fixed at creation (delete the index to "
+                "rebuild)"
+            )
         cm = _load_centroids(index_uri)
     else:
         cm = kmeans_centroids(
@@ -142,6 +162,8 @@ def ivf_index_build(
                 "dim": int(cm.shape[1]),
                 "num_centroids": int(cm.shape[0]),
                 "metric": "cosine",
+                "iters": int(iters),
+                "sample": int(sample),
             },
             meta_p,
         )
@@ -177,24 +199,22 @@ def ivf_index_search(
     cm = _load_centroids(index_uri)
     probe = np.argsort(-(qm @ cm.T), axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
     lists = sorted({int(x) for x in probe.ravel()})
-    dirs = [
-        d
-        for r in committed_runs(index_uri)
-        for lst in lists
-        for d in [shard_path(r, lst)]
-        if os.path.isdir(d)
-    ]
+
+    def _probed_dirs() -> list:
+        return [
+            d
+            for r in committed_runs(index_uri)
+            for lst in lists
+            for d in [shard_path(r, lst)]
+            if os.path.isdir(d)
+        ]
+
     empty = pa.table(
         {
             "query_id": pa.array([], type=pa.int64()),
             "rank": pa.array([], type=pa.int64()),
             "vec_id": pa.array([], type=pa.int64()),
         }
-    )
-    if not dirs:
-        return ray.data.from_arrow(empty)
-    probed = ray.data.read_parquet(
-        dirs, columns=["vec_id", "embedding", "list_id"], file_extensions=["parquet"]
     )
     q_ref = ray.put((qm.T, probe))
 
@@ -233,9 +253,37 @@ def ivf_index_search(
             }
         )
 
-    parts = probed.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # bounded: Q × blocks × k rows
+    # A merge_runs racing this search can rmtree a source run between
+    # the dir listing and the parquet read; re-resolve the committed-run
+    # list and retry on FileNotFoundError (surfaced by Ray wrapped in a
+    # task error, so match the exception chain by type name).
+    def _is_missing_file(e: BaseException) -> bool:
+        seen = 0
+        while e is not None and seen < 8:
+            if isinstance(e, FileNotFoundError) or type(e).__name__ == "FileNotFoundError":
+                return True
+            e = getattr(e, "cause", None) or e.__cause__
+            seen += 1
+        return False
+
+    parts = None
+    for attempt in range(3):
+        dirs = _probed_dirs()
+        if not dirs:
+            return ray.data.from_arrow(empty)
+        probed = ray.data.read_parquet(
+            dirs,
+            columns=["vec_id", "embedding", "list_id"],
+            file_extensions=["parquet"],
+        )
+        try:
+            parts = probed.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas()  # bounded: Q × blocks × k rows
+            break
+        except Exception as e:  # pragma: no cover - merge race window
+            if attempt == 2 or not _is_missing_file(e):
+                raise
     rows_q, rows_r, rows_v = [], [], []
     for j, qid in enumerate(qids):
         g = parts[parts["qi"] == j]

@@ -199,10 +199,16 @@ def minhash_index_probe(
     num_shards: int = 64,
     max_candidates: int = 200,
     sigs: ray.data.Dataset | None = None,
+    exclude_run: str | None = None,
 ) -> ray.data.Dataset:
     """Best index match per new doc: (doc_id, dup_of, est_jaccard) for
     docs whose best signature agreement >= ``threshold``.  Parameters
     default from ``_META.json`` when the index exists.
+
+    ``exclude_run`` drops ``run-<exclude_run>`` from the committed-run
+    list: a retried ``incremental_minhash_dedup`` whose previous attempt
+    crashed AFTER its append committed would otherwise probe the
+    increment against its own rows and flag every doc a self-dup.
 
     Each shard group loads ONLY its shard directory from every committed
     run (workers share storage — the object-store read pattern).  A
@@ -217,6 +223,9 @@ def minhash_index_probe(
         "num_shards": num_shards,
     }
     runs = committed_runs(index_uri)
+    if exclude_run is not None:
+        skip = f"run-{exclude_run}"
+        runs = [r for r in runs if os.path.basename(r) != skip]
     npm = int(meta["num_perm"])
 
     rows = _band_rows(
@@ -232,12 +241,11 @@ def minhash_index_probe(
         {"doc_id": [], "dup_of": [], "est_jaccard": []}
     ).astype({"doc_id": "int64", "dup_of": "int64", "est_jaccard": "float64"})
 
-    def probe_shard(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df) or not runs:
-            return empty
-        s = int(df["shard"].iloc[0])
+    skip_name = None if exclude_run is None else f"run-{exclude_run}"
+
+    def _shard_files(run_list: list, s: int) -> list:
         files = []
-        for r in runs:
+        for r in run_list:
             d = shard_path(r, s)
             if not is_complete(d):  # pragma: no cover - committed_runs gates
                 continue
@@ -246,10 +254,37 @@ def minhash_index_probe(
                 for f in sorted(os.listdir(d))
                 if f.endswith(".parquet")
             ]
-        if not files:
+        return files
+
+    def probe_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or not runs:
             return empty
-        idx = pa.concat_tables(pq.read_table(f) for f in files)
-        if idx.num_rows == 0:
+        s = int(df["shard"].iloc[0])
+        # A merge_runs racing this probe can rmtree a source run between
+        # our listing and the read; on FileNotFoundError re-resolve the
+        # committed-run list (the merged run is authoritative by then)
+        # and retry — workers share the index storage, so the re-list
+        # sees the post-merge state.
+        run_list, idx, last_err = runs, None, None
+        for _ in range(3):
+            try:
+                files = _shard_files(run_list, s)
+                idx = (
+                    pa.concat_tables(pq.read_table(f) for f in files)
+                    if files
+                    else None
+                )
+                break
+            except FileNotFoundError as e:  # pragma: no cover - race window
+                last_err = e
+                run_list = [
+                    r
+                    for r in committed_runs(index_uri)
+                    if os.path.basename(r) != skip_name
+                ]
+        else:  # pragma: no cover - race window
+            raise last_err
+        if idx is None or idx.num_rows == 0:
             return empty
         ikey = idx["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
         iid = idx["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -369,10 +404,17 @@ def incremental_minhash_dedup(
     # the raw docs are read exactly once.
     sigs = minhash_signatures(docs, ngram=ngram, num_perm=num_perm).materialize()
 
-    # rule 1 hits (lazy; committed-run list is captured here, pre-append
-    # — the probe can never match the increment against itself)
+    # rule 1 hits (committed-run list is captured here, pre-append, AND
+    # run-<run_id> is excluded explicitly — so neither laziness nor a
+    # retry after a crashed-but-committed append can make the increment
+    # match itself)
     hits = minhash_index_probe(
-        index_uri, docs, threshold=threshold, sigs=sigs, **params
+        index_uri,
+        docs,
+        threshold=threshold,
+        sigs=sigs,
+        exclude_run=run_id,
+        **params,
     ).materialize()
     pairs = minhash_lsh_pairs(
         docs,

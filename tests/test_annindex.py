@@ -83,6 +83,16 @@ def test_build_is_idempotent(index_uri):
     assert res["written"] == [] and len(res["skipped"]) == NC
 
 
+def test_rebuild_with_different_params_raises(index_uri):
+    """A re-build whose parameters differ from the saved index must fail
+    loudly (mirrors incdedup's _ensure_meta) — saved centroids would
+    otherwise silently win over the caller's num_centroids/iters."""
+    with pytest.raises(ValueError, match="fixed at creation"):
+        annindex.ivf_index_build(index_uri, _emb(), num_centroids=NC * 2)
+    with pytest.raises(ValueError, match="fixed at creation"):
+        annindex.ivf_index_build(index_uri, _emb(), num_centroids=NC, iters=9)
+
+
 def test_append_run_split_invariance(tmp_path):
     """build(half1) + append(half2 in ONE run) vs build(half1) +
     append(half2 in TWO runs): search results agree."""

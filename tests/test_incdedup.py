@@ -212,6 +212,25 @@ def test_append_resume_after_crash(tmp_path):
     pd.testing.assert_frame_equal(got_clean, got_crashed)
 
 
+def test_rerun_same_run_id_is_idempotent(tmp_path):
+    """The natural retry after a driver crash POST-append: re-invoking
+    the increment with the same run_id must reproduce the original
+    verdicts, not flag every doc a self-dup against its own committed
+    run (the probe excludes run-<run_id> from the committed-run list)."""
+    df = _docs_df()
+    run1 = df[df["doc_id"] < 250]
+    run2 = df[df["doc_id"] >= 250]
+    uri = str(tmp_path / "idx")
+    _run_engine(uri, "a", run1)
+    first = _run_engine(uri, "b", run2)
+    # retry: run-b is already committed; the probe must not see it
+    retry = _run_engine(uri, "b", run2)
+    pd.testing.assert_frame_equal(first, retry)
+    assert not (
+        (retry["is_dup"]) & (retry["dup_of"] == retry["doc_id"])
+    ).any(), "self-dups: probe matched the increment's own run"
+
+
 def test_meta_guard_rejects_mismatched_params(tmp_path):
     df = _docs_df().head(20)
     uri = str(tmp_path / "idx")

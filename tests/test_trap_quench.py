@@ -110,3 +110,11 @@ def test_trap_resume_restores_state(tmp_path):
         "trapped_hosts"
     ]
     assert os.path.exists(os.path.join(out_b, "ckpt", "wave-0001", "trapped.json"))
+
+
+def test_trap_quench_requires_dedup_content():
+    """trap_quench without dedup_content would leave the engine's
+    trapped_hosts wave metric unemitted while the oracle emits 0 —
+    the config rejects the combination instead of diverging."""
+    with pytest.raises(ValueError, match="requires dedup_content"):
+        _cfg("/tmp/abc_never", dedup_content=False)

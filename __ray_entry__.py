@@ -1379,6 +1379,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = run_crawl(cfg)
         return read_crawl_order(out, res.waves_run)
 
+    def q_continuous_crawl(sf):
+        """Continuous crawl: 3 epochs of an evolving web, each crawled,
+        deduped against the persisted MinHash band index, embedded, and
+        appended to the persisted IVF index, with merge_runs compaction
+        between epochs — the composition of every persisted piece.
+        Returns all epochs' dedup verdicts; crash-resume equality vs the
+        uninterrupted run: tests/test_continuous.py."""
+        from azure_blob_crawler_ray.config import CrawlConfig
+        from azure_blob_crawler_ray.pipelines import continuous
+
+        state = "/tmp/abc_entry_continuous"
+        shutil.rmtree(state, ignore_errors=True)
+        cfg = CrawlConfig(
+            universe=1000,
+            n_hosts=10,
+            max_waves=2,
+            wave_budget=250,
+            max_fetches_per_host_per_wave=40,
+            seeds_per_host=2,
+            out_dir="",
+            emit_index=False,
+            inject_faults=False,
+            change_every=3,
+        )
+        continuous.continuous_crawl(
+            cfg, state, epochs=3, num_shards=8, num_centroids=8
+        )
+        return (
+            continuous.continuous_verdicts(state, 3)
+            .materialize()
+            .sort(["epoch", "doc_id"])
+        )
+
     def q_refresh_changed(sf):
         import os
 
@@ -1532,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q_promo_revenue,
         "boilerplate_coverage": q_boilerplate_coverage,
         "refresh_changed": q_refresh_changed,
+        "continuous_crawl": q_continuous_crawl,
         "langid_confusion": q_langid_confusion,
         "events_by_weekday": q_events_by_weekday,
         "group_percent_rank": q_group_percent_rank,

@@ -63,6 +63,9 @@ class CrawlRunResult:
     waves_run: List[int] = field(default_factory=list)
     metrics: List[dict] = field(default_factory=list)
     seen_digest: np.ndarray | None = None
+    # per-shard actor state evidence (politeness + seen), collected just
+    # before the actors are killed — the host-cardinality probe's data
+    state_stats: dict = field(default_factory=dict)
 
 
 # ---------- small pure helpers (stage bodies) ----------
@@ -707,9 +710,24 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
     compute_blocks = max(16, 4 * ncpu)
 
     robots = synth.robots_rules(cfg)
-    robots_ref = ray.put(robots)
+    # Per-shard vocabulary slices: frontier rows route to shard
+    # hash64(host) % num_sched_shards (the _tag_frontier invariant), so
+    # each PolitenessShard receives ONLY its own hosts and its
+    # robots/delay vocabulary is sliced to match — per-shard actor state
+    # is O(total_hosts / num_shards), the property that keeps the
+    # politeness tier flat at 10^7-10^8 hosts (a full-vocabulary copy
+    # per shard would multiply the host table by the shard count).
+    _names = list(robots.keys())
+    _slice_of = (
+        (hash64(_names) % np.uint64(cfg.num_sched_shards)).tolist()
+        if _names
+        else []
+    )
+    _slices: List[Dict[str, dict]] = [{} for _ in range(cfg.num_sched_shards)]
+    for _h, _s in zip(_names, _slice_of):
+        _slices[_s][_h] = robots[_h]
     sched = [
-        PolitenessShard.remote(i, robots_ref, cfg.wave_duration_ms, cfg.max_fetches_per_host_per_wave)
+        PolitenessShard.remote(i, ray.put(_slices[i]), cfg.wave_duration_ms, cfg.max_fetches_per_host_per_wave)
         for i in range(cfg.num_sched_shards)
     ]
     seen = [SeenShard.remote(i, cfg.cuckoo_buckets) for i in range(cfg.num_seen_shards)]
@@ -1202,6 +1220,10 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         digests.append(CuckooFilter.deserialize(b).fingerprint_set() + (np.int64(i) << 40))
     out.seen_digest = np.concatenate(digests) if digests else np.zeros(0, dtype=np.int64)
 
+    out.state_stats = {
+        "politeness": ray.get([a.stats.remote() for a in sched]),
+        "seen": ray.get([a.stats.remote() for a in seen]),
+    }
     for a in sched + seen:
         ray.kill(a)
     return out

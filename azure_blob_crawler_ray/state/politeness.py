@@ -114,6 +114,21 @@ class PolitenessShard:
     def snapshot(self) -> dict:
         return {"shard": self.shard_id, "next_vtime": dict(self.next_vtime)}
 
+    def stats(self) -> dict:
+        """Size/memory evidence for the host-cardinality probe: state is
+        O(hosts in this shard's vocabulary), and ru_maxrss is the whole
+        actor process — the honest upper bound on what a shard costs."""
+        import resource
+
+        return {
+            "shard": self.shard_id,
+            "hosts_known": len(self.delay_ms),
+            "hosts_touched": len(self.next_vtime),
+            "rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            ),
+        }
+
     def restore(self, snap: dict) -> bool:
         self.next_vtime = dict(snap["next_vtime"])
         self._replay.clear()  # a restore starts a new wave epoch

@@ -59,8 +59,13 @@ class SeenShard:
         return True
 
     def stats(self) -> dict:
+        import resource
+
         return {
             "shard": self.shard_id,
             "count": self.filter.count,
             "evictions": self.filter.evictions,
+            "rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            ),
         }

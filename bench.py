@@ -476,6 +476,23 @@ def run_pipeline_bench(sf_dir: str) -> dict:
     shit = sgot & sexact
     out["simhash_recall"] = round(len(shit) / max(len(sexact), 1), 3)
     out["simhash_precision"] = round(len(shit) / max(len(sgot), 1), 3)
+
+    # HLL count-distinct: measured max relative error vs exact distinct
+    # per event type (p=12 => ~1.6% standard error; pytest floor 5%)
+    ap = qs["approx_distinct_users"](sf_dir).to_pandas()
+    exd = (
+        _pd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        .groupby("event_type")["user_id"]
+        .nunique()
+    )
+    mg = ap.set_index("event_type").join(exd.rename("exact"))
+    out["hll_max_rel_error"] = round(
+        float(((mg["approx_users"] - mg["exact"]).abs() / mg["exact"]).max()),
+        4,
+    )
     return out
 
 
@@ -605,7 +622,7 @@ def main() -> None:
     skew = run_skew_bench(num_cpus)
     queries = run_pipeline_bench(sf_dir)
     def _is_wall(k: str) -> bool:
-        return not k.endswith(("_rows", "_recall", "_precision", "_agreement"))
+        return not k.endswith(("_rows", "_recall", "_precision", "_agreement", "_error"))
 
     total = round(
         crawl["wall_s"]
@@ -627,7 +644,7 @@ def main() -> None:
                 "skew": skew,
                 "quality": {
                     k: v for k, v in queries.items()
-                    if k.endswith(("_recall", "_precision", "_agreement"))
+                    if k.endswith(("_recall", "_precision", "_agreement", "_error"))
                 },
                 "detail": {
                     "crawl": crawl,

@@ -134,3 +134,32 @@ def test_simhash_recall_precision_vs_exact_hamming():
     precision = len(hit) / max(len(gset), 1)
     assert recall == 1.0, f"simhash recall {recall:.3f}"
     assert precision == 1.0, f"simhash precision {precision:.3f}"
+
+
+def test_hll_relative_error_vs_exact_two_scales():
+    """approx_distinct_users_per_type (HyperLogLog, p=12): measured
+    relative error vs exact distinct at two corpus scales.  Standard
+    error at p=12 is ~1.04/sqrt(4096) ~ 1.6%; the floor allows 3 sigma
+    (5%) per event type — a broken register mix, rho computation, or
+    small-range correction blows far past it."""
+    import pandas as pd
+    import ray.data
+
+    from azure_blob_crawler_ray.pipelines import relational
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_type", "user_id"]
+        )
+        approx = relational.approx_distinct_users_per_type(ev).to_pandas()
+        exact = (
+            pd.read_parquet(
+                f"{sf}/events.parquet", columns=["event_type", "user_id"]
+            )
+            .groupby("event_type")["user_id"]
+            .nunique()
+        )
+        merged = approx.set_index("event_type").join(exact.rename("exact"))
+        assert not merged.isna().any().any()
+        rel = (merged["approx_users"] - merged["exact"]).abs() / merged["exact"]
+        assert rel.max() <= 0.05, f"{sf}: HLL rel error {rel.max():.4f} > 5%"

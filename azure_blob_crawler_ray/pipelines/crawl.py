@@ -857,9 +857,18 @@ def run_crawl(cfg: CrawlConfig, *, fetch_concurrency=None) -> CrawlRunResult:
         narrow = unblocked.select_columns(
             ["url_hash", "host_hash", "priority", "discovered_at", "sched_shard"]
         )
+        # batch_size coalesces the tag stage's compute-width block
+        # layout (4 blocks/CPU) into few fat blocks before the exchange:
+        # the groupby sort-shuffle costs ~linearly in input BLOCK COUNT
+        # at fixed rows, so without this the cap phase got SLOWER as
+        # CPUs grew (measured 6.1 s @ 8 -> 7.3 s @ 32 on the scale2
+        # job); a fatter local-cap batch also prunes hot hosts harder.
         kept = (
             narrow.map_batches(
-                _local_host_cap(cap), batch_format="pyarrow", zero_copy_batch=True
+                _local_host_cap(cap),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=1_048_576,
             )
             .groupby("sched_shard")
             .map_groups(_shard_host_cap(cap), batch_format="pyarrow")

@@ -256,17 +256,32 @@ def minhash_index_probe(
             ]
         return files
 
+    def _resolve_runs() -> list:
+        return [
+            r
+            for r in committed_runs(index_uri)
+            if os.path.basename(r) != skip_name
+        ]
+
     def probe_shard(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df) or not runs:
             return empty
         s = int(df["shard"].iloc[0])
-        # A merge_runs racing this probe can rmtree a source run between
-        # our listing and the read; on FileNotFoundError re-resolve the
-        # committed-run list (the merged run is authoritative by then)
-        # and retry — workers share the index storage, so the re-list
-        # sees the post-merge state.
-        run_list, idx, last_err = runs, None, None
+        # A merge_runs racing this probe can delete captured source runs
+        # before or during the read. merge commits the merged run FIRST,
+        # so whenever a captured run's marker is gone, a freshly
+        # re-resolved committed-run list is complete again (it includes
+        # the merged run). Two triggers: a dead marker detected up
+        # front (silent-skip window — is_complete would just skip the
+        # vanished run), or FileNotFoundError mid-read (deletion raced
+        # the listing). Workers share the index storage, so the re-list
+        # sees the post-merge state; 3 attempts bound repeated merges.
+        run_list, idx, last_err = list(runs), None, None
         for _ in range(3):
+            if any(
+                not os.path.exists(os.path.join(r, _RUN_OK)) for r in run_list
+            ):
+                run_list = _resolve_runs()
             try:
                 files = _shard_files(run_list, s)
                 idx = (
@@ -277,11 +292,7 @@ def minhash_index_probe(
                 break
             except FileNotFoundError as e:  # pragma: no cover - race window
                 last_err = e
-                run_list = [
-                    r
-                    for r in committed_runs(index_uri)
-                    if os.path.basename(r) != skip_name
-                ]
+                run_list = _resolve_runs()
         else:  # pragma: no cover - race window
             raise last_err
         if idx is None or idx.num_rows == 0:
@@ -384,8 +395,17 @@ def incremental_minhash_dedup(
     (b) one doc_id-keyed exchange both picks the best surviving partner
     per doc (max est, min doc_a) and re-attaches flags to the full
     increment id stream with rule-1 precedence.  The probe dataset
-    captures the committed-run list BEFORE the append, so laziness
-    cannot make the increment match itself."""
+    captures the committed-run list BEFORE the append AND excludes
+    ``run-<run_id>`` explicitly, so neither laziness nor a retried
+    crashed-but-committed append can make the increment match itself.
+
+    Concurrency contract: ``merge_runs`` may race PROBES (they
+    re-resolve the committed-run list when captured runs vanish) but
+    must not run while an increment with a committed-but-unfinished
+    append is still probing — a merge that absorbs ``run-<run_id>``
+    into a merged run would defeat the self-exclusion.  Sequence
+    compactions between increments (as ``pipelines/continuous.py``
+    does)."""
     params = dict(
         ngram=ngram, num_perm=num_perm, bands=bands, num_shards=num_shards
     )

@@ -98,18 +98,72 @@ class PolitenessShard:
         """``admit`` over int64/uint64 host hashes instead of host
         strings — the narrow-exchange form (the admission shuffle then
         carries 8 bytes per row where the host string carried ~15-60).
-        Maps back to names via the robots vocabulary and delegates, so
-        decisions (and the idempotency replay digest) are byte-identical
-        to the string path."""
+
+        Vectorized: the per-ROW work (occurrence indexing, time
+        assignment) is numpy over the hash array; only the per-HOST work
+        (name lookup, heap scheduling) touches Python — at a million
+        candidate rows over a thousand hosts the actor call is host-
+        bound, not row-bound, which is what keeps this stage from
+        becoming the non-scaling term of the wave (measured: the
+        row-loop form ran ~6 s/wave at 32 CPUs and got SLOWER with more
+        CPUs because the 16 actors are a fixed pool).
+
+        Decision semantics are identical to ``admit``: rows arrive in
+        canonical frontier order, and a host's admitted rows are exactly
+        its first ``len(times)`` occurrences (the sequential loop's
+        ``taken`` counter equals the occurrence index while admitting,
+        and once an occurrence is refused every later one is too)."""
+        import hashlib
+
+        hh = np.ascontiguousarray(np.asarray(host_hashes, dtype=np.uint64))
+        key = (int(wave), hashlib.blake2b(hh.tobytes(), digest_size=16).digest())
+        hit = self._replay.get(key)
+        if hit is not None:
+            return hit
+        n = len(hh)
+        uniq, inv = np.unique(hh, return_inverse=True)
         try:
-            hosts = [self._host_by_hash[int(h)] for h in host_hashes]
+            names = [self._host_by_hash[int(u)] for u in uniq]
         except KeyError as e:  # pragma: no cover - universe violation
             raise KeyError(
                 f"host hash {e} not in the robots vocabulary; the hashed "
                 "admission path requires every frontier host to have a "
                 "robots entry"
             ) from e
-        return self.admit(hosts, wave)
+        counts = np.bincount(inv, minlength=len(uniq))
+        wave_start = wave * self.wave_duration_ms
+        wave_end = wave_start + self.wave_duration_ms
+        by_name = sorted(range(len(uniq)), key=lambda i: names[i])
+        sched = self._schedule_wave(
+            [(names[i], int(counts[i])) for i in by_name],
+            self.next_vtime,
+            self.delay_ms,
+            wave_start,
+            wave_end,
+            self.per_host_cap,
+        )
+        # per-row occurrence index within its host, in row order
+        sort_idx = np.argsort(inv, kind="stable")
+        occ = np.empty(n, dtype=np.int64)
+        occ[sort_idx] = np.arange(n, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        times = [sched.get(names[i]) or [] for i in range(len(uniq))]
+        tlen = np.array([len(t) for t in times], dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=np.int64) for t in times])
+            if tlen.sum()
+            else np.zeros(0, dtype=np.int64)
+        )
+        off = np.cumsum(tlen) - tlen
+        admit = occ < tlen[inv]
+        fetch_ms = np.full(n, -1, dtype=np.int64)
+        fetch_ms[admit] = flat[off[inv[admit]] + occ[admit]]
+        result = {"admit": admit, "fetch_ms": fetch_ms}
+        if len(self._replay) >= 4:  # bounded: only in-flight waves matter
+            self._replay.pop(next(iter(self._replay)))
+        self._replay[key] = result
+        return result
 
     def snapshot(self) -> dict:
         return {"shard": self.shard_id, "next_vtime": dict(self.next_vtime)}

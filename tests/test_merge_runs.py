@@ -156,3 +156,36 @@ def test_crash_after_commit_tolerates_duplicates(tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(
         before.reset_index(drop=True), after.reset_index(drop=True)
     )
+
+
+def test_probe_with_stale_run_list_after_merge(tmp_path):
+    """A probe dataset built BEFORE a merge_runs (capturing the
+    pre-merge run list) and executed AFTER it must still see every
+    indexed row: the captured source runs are gone, so each probe task
+    detects the dead run markers and re-resolves the committed-run list
+    (which now holds the merged run). Without the liveness re-check the
+    vanished sources would be silently skipped and candidates lost."""
+    import pandas as pd
+
+    uri = str(tmp_path / "idx")
+    incdedup.minhash_index_append(uri, "a", _docs(0, 150), **P)
+    incdedup.minhash_index_append(uri, "b", _docs(150, 300), **P)
+
+    probe_docs = _docs(0, 300)
+    # lazy: captures the pre-merge run list [run-a, run-b]
+    stale = incdedup.minhash_index_probe(uri, probe_docs, threshold=0.5, **P)
+    res = merge_runs(uri)
+    assert res["merged"] == 2
+    got = (
+        stale.to_pandas()
+        .sort_values(["doc_id", "dup_of"])
+        .reset_index(drop=True)
+    )
+    fresh = (
+        incdedup.minhash_index_probe(uri, probe_docs, threshold=0.5, **P)
+        .to_pandas()
+        .sort_values(["doc_id", "dup_of"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, fresh)

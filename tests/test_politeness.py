@@ -160,3 +160,43 @@ def test_admit_hashed_matches_string_path():
 
     with _pytest.raises(Exception):
         ray.get(p_hash.admit_hashed.remote(np.array([12345], dtype=np.uint64), 9))
+
+
+def test_admit_hashed_matches_string_path_large_random():
+    """Property-scale twin for the vectorized admission: 5,000 rows over
+    60 hosts (occurrences far beyond the per-host cap, mixed crawl
+    delays, several waves so the virtual clock carries) — decisions,
+    clock state, and the hashed path's own replay must all match the
+    sequential string path row for row."""
+    import numpy as np
+    import ray
+
+    from azure_blob_crawler_ray.hashing import hash64
+    from azure_blob_crawler_ray.state.politeness import PolitenessShard
+
+    rng = np.random.default_rng(7)
+    robots = {
+        f"h{i:03d}.example.com": {
+            "crawl_delay_ms": int(rng.integers(50, 1000)),
+            "disallow": [],
+        }
+        for i in range(60)
+    }
+    names = list(robots)
+    p_str = PolitenessShard.remote(0, robots, 2000, 16)
+    p_hash = PolitenessShard.remote(0, robots, 2000, 16)
+    for wave in range(3):
+        hosts = [names[i] for i in rng.integers(0, 60, size=5000)]
+        hh = hash64(hosts)
+        d_s = ray.get(p_str.admit.remote(hosts, wave))
+        d_h = ray.get(p_hash.admit_hashed.remote(hh, wave))
+        assert np.array_equal(d_s["admit"], d_h["admit"])
+        assert np.array_equal(d_s["fetch_ms"], d_h["fetch_ms"])
+        # hashed-path replay: a retried task gets the recorded decision
+        d_r = ray.get(p_hash.admit_hashed.remote(hh, wave))
+        assert np.array_equal(d_h["fetch_ms"], d_r["fetch_ms"])
+    assert ray.get(p_str.snapshot.remote())["next_vtime"] == ray.get(
+        p_hash.snapshot.remote()
+    )["next_vtime"]
+    ray.kill(p_str)
+    ray.kill(p_hash)

@@ -9,11 +9,15 @@ plus the flagship data pipelines over ``$GRAFT_SF_DIR`` (default
    "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N}
 
 ``--scaling``: the sandbox evidence protocol for the N-vs-4N-cluster
-criterion (BASELINE.md): run the IDENTICAL crawl job on the IDENTICAL
-input in fresh processes at num_cpus in (2, 8, 32), best-of-2 per
-level, and report throughputs + efficiencies T_4N/(4*T_N) for the
-(2,8) and (8,32) pairs, plus a pure-multiprocessing hardware control
-(how much 4x actually speeds this VM up with zero orchestration).
+criterion (BASELINE.md): interleaved rounds, each running the IDENTICAL
+crawl job on the IDENTICAL input back-to-back in fresh processes at
+(2, 8) and (8, 32) CPUs, then a pure-multiprocessing hardware control
+IN THE SAME ROUND (how much 4x actually speeds this VM up with zero
+orchestration — the engine/control ratio is only meaningful when both
+come from the same drift window). ``--pair2-job`` / ``--pair8-job``
+size each pair's job (bigger jobs keep per-wave fixed cost under 10%
+of the 4N-leg wall; see SCALE_KW / SCALE2_KW). Reports per-round
+efficiencies T_4N/(4*T_N), controls, and engine/control ratios.
 
 ``--crawl-only --cpus N``: child mode; prints one JSON line with the
 crawl throughput only.
